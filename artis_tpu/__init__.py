@@ -1,0 +1,20 @@
+"""artis_tpu: a TPU-native Monte Carlo radiative-transfer engine.
+
+A from-scratch JAX/XLA rebuild of the capabilities of ARTIS
+(3D time-dependent special-relativistic MC radiative transfer for
+supernova/kilonova ejecta): vectorised packet-megabatch transport,
+segment-sum estimators, Bateman decay networks, LTE/grey plasma
+updates, and spectrum/light-curve extraction — designed for SPMD
+execution over TPU device meshes.
+"""
+
+from .config import SimConfig, read_input_txt
+from .driver import Simulation
+from .model import (Model, make_toy_1d_model, make_toy_3d_model,
+                    read_1d_model, read_abundances)
+
+__version__ = "0.1.0"
+
+__all__ = ["SimConfig", "read_input_txt", "Simulation", "Model",
+           "make_toy_1d_model", "make_toy_3d_model", "read_1d_model",
+           "read_abundances", "__version__"]

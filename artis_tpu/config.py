@@ -1,0 +1,143 @@
+"""Typed simulation configuration.
+
+Collapses the reference's two-tier config (compile-time
+``artisoptions_*.h`` constants + positional ``input.txt``,
+reference: input.cc:1874-2143 and artisoptions_classic.h) into one
+dataclass. A reader for reference-format ``input.txt`` files is
+provided for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from .constants import DAY, GRID_SPHERICAL1D, MEV, H
+
+TIMESTEP_LOGARITHMIC = 0
+TIMESTEP_CONSTANT = 1
+
+
+@dataclasses.dataclass
+class SimConfig:
+    # --- packets / RNG
+    npkts: int = 100_000
+    seed: int = 42
+
+    # --- time grid (input.txt lines 2-4; time_init input.cc:2226-2381)
+    ntimesteps: int = 50
+    itstep: int = 0  # first timestep of this job
+    ftstep: int = 50  # one past the last timestep of this job
+    tmin_days: float = 3.0
+    tmax_days: float = 30.0
+    timestep_method: int = TIMESTEP_LOGARITHMIC
+
+    # --- frequency ranges (artisoptions: nu_min_r/nu_max_r;
+    #     globals.cc defaults: 1e14 .. 5e15 Hz for optical packets)
+    nu_min_r: float = 1e14
+    nu_max_r: float = 5e15
+    # gamma synthesis range (input.txt line 5, in MeV)
+    nusyn_min_mev: float = 0.1
+    nusyn_max_mev: float = 4.0
+
+    # --- model / grid
+    model_type: int = 1  # 1, 2 or 3 dimensions (input.txt line 8)
+    ncoordgrid: int = 50  # propagation grid points per axis for 3D
+
+    # --- opacity / physics switches
+    opacity_case: int = 0  # 0-3 grey, 4 full, 5 Ye-dependent (input.txt)
+    grey_op: float = 0.1  # GREY_OP [cm^2/g] (artisoptions)
+    gamma_grey: float = -1.0  # >=0: grey gamma opacity [cm^2/g] (input.txt)
+    rho_crit_para: float = 1.0e-10  # opacity_case 3 parameter (input.txt)
+    syn_dir: tuple[float, float, float] = (0.0, 0.0, 1.0)
+
+    num_lte_timesteps: int = 999  # LTE-forced initial timesteps
+    cell_is_optically_thick: float = 8.0  # grey-depth threshold
+    num_grey_timesteps: int = 999
+    use_relativistic_doppler: bool = False
+
+    # kpkt diffusion smoothing (input.txt line 25)
+    kpktdiffusion_timescale: float = 0.0
+    n_kpktdiffusion_timesteps: int = 0
+
+    # non-thermal deposition handling
+    instant_particle_deposition: bool = True
+
+    # pellets
+    uniform_pellet_energies: bool = True
+    initial_packets: bool = True  # include decays between t_model and tmin
+    use_model_initial_energy: bool = False
+
+    # temperature clamps (artisoptions MINTEMP/MAXTEMP)
+    mintemp: float = 1000.0
+    maxtemp: float = 1.4e5
+
+    # --- numerics
+    real_dtype: str = "float32"  # device real dtype for transport
+    max_transport_iters: int = 2_000_000  # safety cap on event loop
+    # events per device invocation; bounded so single executions stay
+    # short (execution-deadline/preemption friendly)
+    transport_chunk_iters: int = 512
+
+    # --- output binning (exspec analogue)
+    nnubins_gamma: int = 200
+    nnubins_r: int = 1000
+
+    # --- data
+    data_path: Optional[str] = None  # reference-format data/ dir (optional)
+
+    @property
+    def tmin(self) -> float:
+        return self.tmin_days * DAY
+
+    @property
+    def tmax(self) -> float:
+        return self.tmax_days * DAY
+
+    @property
+    def nusyn_min(self) -> float:
+        return self.nusyn_min_mev * MEV / H
+
+    @property
+    def nusyn_max(self) -> float:
+        return self.nusyn_max_mev * MEV / H
+
+
+def read_input_txt(path: str, cfg: Optional[SimConfig] = None) -> SimConfig:
+    """Parse a reference-format positional input.txt into a SimConfig
+    (read_parameterfile, input.cc:1874-2143). Unused/legacy lines are
+    skipped just as the reference does."""
+    cfg = cfg or SimConfig()
+    with open(path) as f:
+        lines = [ln.split("#")[0].strip() for ln in f.readlines()]
+    vals = [ln for ln in lines if ln]
+
+    def floats(i):
+        return [float(x) for x in vals[i].split()]
+
+    cfg.seed = int(float(vals[0]))
+    cfg.ntimesteps = int(vals[1])
+    it, ft = (int(x) for x in vals[2].split())
+    # the driver loop runs while nts < ftstep (sn3d.cc:1037), so ftstep
+    # is exclusive
+    cfg.itstep, cfg.ftstep = it, ft
+    cfg.tmin_days, cfg.tmax_days = floats(3)
+    cfg.nusyn_min_mev, cfg.nusyn_max_mev = floats(4)
+    # vals[5] nsyn_time, vals[6] synthesis start/end times: unused here
+    cfg.model_type = int(vals[7])
+    # vals[8] estimator mode, vals[9] n_out_it, vals[10] CLIGHT factor
+    cfg.gamma_grey = float(vals[11])
+    sd = floats(12)
+    cfg.syn_dir = (sd[0], sd[1], sd[2])
+    cfg.opacity_case = int(vals[13])
+    cfg.rho_crit_para = float(vals[14])
+    # vals[15] debug packet, vals[16] resume flag, vals[17] rfcut
+    cfg.num_lte_timesteps = int(vals[18])
+    thick = floats(19)
+    cfg.cell_is_optically_thick = thick[0]
+    cfg.num_grey_timesteps = int(thick[1])
+    # vals[20] max_bf_continua, vals[21] nprocs_exspec, vals[22] do_emission_res
+    kd = floats(23)
+    cfg.kpktdiffusion_timescale = kd[0]
+    cfg.n_kpktdiffusion_timesteps = int(kd[1])
+    return cfg

@@ -1,0 +1,389 @@
+"""Simulation driver: the time loop, checkpoint/resume, and outputs.
+
+Rebuild of the reference's sn3d main loop (sn3d.cc:675-1154,
+do_timestep sn3d.cc:514-673) around the vectorised transport kernel:
+a host-side Python loop over timesteps, with each timestep's transport
+fully on device.
+
+Per-timestep sequence (mirrors do_timestep):
+  1. update_grid: advance densities/abundances, set temperatures from
+     the previous timestep's estimators
+  2. checkpoint (packets + grid state) — the resume point
+  3. transport all packets to the end of the timestep
+  4. record deposition / estimator outputs
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time as _time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import spectra as spectra_mod
+from .config import SimConfig
+from .constants import CLIGHT, DAY, GRID_SPHERICAL1D, LSUN, MEV, H
+from .decay import DecayModel
+from .grid import (Grid, assign_initial_temperatures, build_grid,
+                   grid_device_tables, make_units)
+from .model import Model
+from .packets import PacketBatch, init_pellets, to_numpy, from_numpy
+from .plasma.grey_lte import (normalise_J, update_grid_common,
+                              update_grid_grey,
+                              update_temperatures_from_J)
+from .plasma.lte_case4 import compute_case4_state, update_thick_flags
+from .rng import make_base_key
+from .timesteps import TimestepGrid, build_timesteps
+from .transport.kernel import (TransportParams, make_planck_table,
+                               run_timestep_chunk, zero_estimators)
+from .units import Units
+
+
+class Simulation:
+    """One single-host simulation (optionally sharded across local
+    devices via parallel.py)."""
+
+    def __init__(self, model: Model, cfg: SimConfig,
+                 out_dir: Optional[str] = None, atomic_data=None):
+        self.cfg = cfg
+        self.model = model
+        self.atomic_data = atomic_data
+        self.detailed = cfg.opacity_case >= 4
+        if self.detailed and atomic_data is None:
+            raise ValueError(
+                "opacity_case 4 requires an AtomicData instance "
+                "(atomic_data=...)")
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+        self.ts = build_timesteps(cfg)
+        self.dm = DecayModel(model.nuclide_table, model.initradioabund,
+                             model.t_model)
+        self.grid = build_grid(model, cfg)
+
+        # pellets + energy normalisation
+        self.units: Units
+        self.packets, self.etot = self._init_packets()
+        assign_initial_temperatures(self.grid, self.dm,
+                                    float(self.ts.mid[0]), cfg)
+
+        self.params = self._build_params()
+        self.base_key = make_base_key(cfg.seed)
+        self._grid_static = ("spherical" if model.ndim == 1 else "uniform",
+                             self.grid.ncoordgrid[0])
+        self._step_fn = jax.jit(
+            partial(run_timestep_chunk,
+                    grid_type=self._grid_static[0],
+                    ncoord=self._grid_static[1],
+                    relativistic=cfg.use_relativistic_doppler,
+                    detailed=self.detailed,
+                    chunk_iters=cfg.transport_chunk_iters))
+
+        self.nts_done = cfg.itstep  # next timestep to run
+        self.dep_log: list[dict] = []
+        self.est_J_prev: Optional[np.ndarray] = None
+        self.deltat_prev: float = 0.0
+
+    # -- setup --------------------------------------------------------
+    def _init_packets(self) -> tuple[PacketBatch, float]:
+        cfg = self.cfg
+        # first pass to learn etot for the energy unit
+        q = self.dm.simtime_endecay_per_mass(
+            cfg.tmin, cfg.tmax, from_tmodel=cfg.initial_packets)
+        mgi = self.grid.cell_mgi
+        etot = float(np.sum(self.grid.vol_init[mgi]
+                            * self.grid.rho_init[mgi]
+                            * q.sum(axis=1)[mgi]))
+        self.units = make_units(cfg, etot)
+        batch, etot2 = init_pellets(cfg, self.grid, self.dm, self.units)
+        assert abs(etot2 / etot - 1) < 1e-9
+        return batch, etot
+
+    def _build_params(self) -> TransportParams:
+        cfg = self.cfg
+        px, pcdf = make_planck_table()
+        f32 = jnp.float32
+        if self.atomic_data is not None:
+            from .constants import PI
+            ad = self.atomic_data
+            # Sobolev tau factors: tau = (taufac_lu n_l - taufac_ul n_u)
+            # * t_sim, with taufac_ul = A c^3/(8 pi nu^3) * tmin and
+            # taufac_lu = (g_u/g_l) * taufac_ul (get_event,
+            # rpkt.cc:172-179)
+            base = (ad.line_A * CLIGHT**3
+                    / (8.0 * PI * ad.line_nu**3) * self.units.tmin)
+            g_ratio = (self.atomic_data.level_g[ad.line_upper]
+                       / self.atomic_data.level_g[ad.line_lower])
+            line_nu = jnp.asarray(ad.line_nu, f32)
+            taufac_lu = jnp.asarray(base * g_ratio, f32)
+            taufac_ul = jnp.asarray(base, f32)
+            line_lower = jnp.asarray(ad.line_lower, jnp.int32)
+            line_upper = jnp.asarray(ad.line_upper, jnp.int32)
+        else:
+            line_nu = jnp.zeros(1, f32)
+            taufac_lu = jnp.zeros(1, f32)
+            taufac_ul = jnp.zeros(1, f32)
+            line_lower = jnp.zeros(1, jnp.int32)
+            line_upper = jnp.zeros(1, jnp.int32)
+        return TransportParams(
+            x_unit=f32(self.units.x_unit),
+            nu_min_r=f32(cfg.nu_min_r), nu_max_r=f32(cfg.nu_max_r),
+            gamma_grey=f32(cfg.gamma_grey),
+            max_path_step=f32(self.grid.rmax / self.units.x_unit / 10.0),
+            line_nu=line_nu, line_taufac_lu=taufac_lu,
+            line_taufac_ul=taufac_ul, line_lower=line_lower,
+            line_upper=line_upper,
+            planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
+            kpkt_diffusion_dt=f32(0.0),
+        )
+
+    def _tables(self) -> dict:
+        if self.detailed:
+            levelpops, kff_base = compute_case4_state(
+                self.grid, self.atomic_data, self.units)
+            return grid_device_tables(self.grid, self.cfg, self.units,
+                                      levelpops=levelpops,
+                                      kff_base=kff_base)
+        return grid_device_tables(self.grid, self.cfg, self.units)
+
+    # -- main loop ----------------------------------------------------
+    def run(self, until: Optional[int] = None, checkpoint: bool = True,
+            verbose: bool = True):
+        last = min(until if until is not None else self.cfg.ftstep,
+                   self.cfg.ftstep)
+        while self.nts_done < last:
+            self.advance_one_timestep(checkpoint=checkpoint,
+                                      verbose=verbose)
+        if self.out_dir:
+            self.write_outputs()
+
+    def advance_one_timestep(self, checkpoint: bool = True,
+                             verbose: bool = True):
+        nts = self.nts_done
+        cfg = self.cfg
+        tmid = float(self.ts.mid[nts])
+        t_start = _time.time()
+
+        # 1. grid solve with the previous timestep's estimators
+        if self.detailed:
+            update_grid_common(self.grid, self.dm, cfg, tmid)
+        else:
+            update_grid_grey(self.grid, self.dm, cfg, tmid)
+        if self.est_J_prev is not None and self.deltat_prev > 0:
+            J_cgs = normalise_J(self.est_J_prev, self.grid, self.units,
+                                tmid, self.deltat_prev)
+            update_temperatures_from_J(self.grid, cfg, J_cgs)
+        if self.detailed:
+            update_thick_flags(self.grid, cfg, nts, tmid)
+
+        # 2. checkpoint before transport (save_grid_and_packets,
+        # sn3d.cc:466-512)
+        if checkpoint and self.out_dir and nts > self.cfg.itstep:
+            self.save_checkpoint(nts)
+
+        # 3. transport on device, in bounded chunks of events (the
+        # host re-invokes until every packet reached t2 — analogue of
+        # the reference's multi-pass loop, update_packets.cc:249-320).
+        # When only a ragged tail of packets remains in flight, the
+        # active set is compacted into a smaller batch so the while
+        # loop stops paying for finished lanes (the TPU answer to the
+        # reference's density sort for load balance,
+        # update_packets.cc:204-232).
+        t2_sim = self.units.time_to_sim(self.ts.end(nts))
+        tables = self._tables()
+        pk = self.packets
+        est = zero_estimators(self.grid.nmodel)
+        chunks = 0
+        compact_stack: list[tuple[PacketBatch, jax.Array]] = []
+        t2_f32 = jnp.float32(t2_sim)
+        while True:
+            pk, est, n_active = self._step_fn(
+                pk, est, tables, self.params, t2_f32, nts == 0,
+                self.base_key)
+            chunks += 1
+            n_act = int(n_active)
+            if verbose and chunks % 20 == 0:
+                print(f"  [ts {nts}] chunk {chunks}: "
+                      f"{n_act}/{pk.n} packets still in flight",
+                      flush=True)
+            if n_act == 0:
+                break
+            if chunks * self.cfg.transport_chunk_iters > \
+                    self.cfg.max_transport_iters:
+                raise RuntimeError(
+                    f"transport did not converge: {n_act} packets "
+                    f"active after {chunks} chunks")
+            pk, compact_stack = self._maybe_compact(
+                pk, n_act, t2_f32, compact_stack)
+        # unwind compactions: scatter tail results back into the full
+        # batch (padded rows carry out-of-range indices and are dropped)
+        while compact_stack:
+            parent, idx_pad = compact_stack.pop()
+            pk = jax.tree.map(
+                lambda a, s: a.at[idx_pad].set(s, mode="drop"),
+                parent, pk)
+        self.packets = pk
+
+        est_np = {k: float(v) if np.asarray(v).ndim == 0 else np.asarray(v)
+                  for k, v in est.items()}
+        self.est_J_prev = est_np["J"]
+        self.deltat_prev = float(self.ts.width[nts])
+        self._record_deposition(nts, est_np)
+
+        if verbose:
+            e0 = self.units.e0
+            print(f"[ts {nts:3d}] tmid={tmid / DAY:7.3f} d  "
+                  f"iters={int(est_np['iterations']):6d}  "
+                  f"escaped={int(np.sum(np.asarray(pk.ptype) == 32)):8d}  "
+                  f"gamma_dep={est_np['gamma_dep'] * e0 / self.deltat_prev / LSUN:9.3e} Lsun  "
+                  f"escatters={int(est_np['escounter']):9d}  "
+                  f"({_time.time() - t_start:5.1f}s)")
+
+        self.nts_done = nts + 1
+
+    def _maybe_compact(self, pk: PacketBatch, n_act: int, t2_f32,
+                       stack: list):
+        """Gather the active packets into a smaller batch when most
+        lanes are done. Batch sizes are restricted to N/8^k (k >= 0,
+        min 4096) to bound the number of distinct compilations."""
+        size = pk.n
+        min_size = 4096
+        new_size = size
+        while (new_size // 8 >= max(min_size, 2 * n_act)
+               and new_size // 8 >= 1):
+            new_size //= 8
+        if new_size >= size:
+            return pk, stack
+        active = np.asarray(
+            (np.asarray(pk.ptype) != 32)
+            & (np.asarray(pk.prop_time) < float(t2_f32)))
+        idx = np.flatnonzero(active)
+        assert len(idx) == n_act, (len(idx), n_act)
+        # pad with out-of-range indices: gathers clamp to a dummy row
+        # that is marked escaped; scatters drop them
+        idx_pad = np.full(new_size, size, dtype=np.int64)
+        idx_pad[:len(idx)] = idx
+        idx_pad_j = jnp.asarray(idx_pad)
+        gather_idx = jnp.minimum(idx_pad_j, size - 1)
+        small = jax.tree.map(lambda a: a[gather_idx], pk)
+        pad_rows = jnp.arange(new_size) >= len(idx)
+        small = small.replace(
+            ptype=jnp.where(pad_rows, 32, small.ptype),
+            e_cmf=jnp.where(pad_rows, 0.0, small.e_cmf),
+            e_rf=jnp.where(pad_rows, 0.0, small.e_rf))
+        stack.append((pk, idx_pad_j))
+        return small, stack
+
+    def _record_deposition(self, nts: int, est: dict):
+        e0 = self.units.e0
+        w = float(self.ts.width[nts])
+        self.dep_log.append({
+            "ts": nts,
+            "tmid_days": float(self.ts.mid[nts]) / DAY,
+            "gamma_dep_Lsun": float(est["gamma_dep"]) * e0 / w / LSUN,
+            "positron_dep_Lsun": float(est["positron_dep"]) * e0 / w / LSUN,
+            "electron_dep_Lsun": float(est["electron_dep"]) * e0 / w / LSUN,
+            "alpha_dep_Lsun": float(est["alpha_dep"]) * e0 / w / LSUN,
+            "gamma_emission": float(est["gamma_emission"]) * e0,
+            "cmf_lum": float(est["cmf_lum"]) * e0,
+            "pellet_decays": int(est["pellet_decays"]),
+            "escounter": int(est["escounter"]),
+            "cellcrossings": int(est["cellcrossings"]),
+            "interactions": int(est["interactions"]),
+            "iterations": int(est["iterations"]),
+        })
+
+    # -- checkpoint / resume ------------------------------------------
+    def save_checkpoint(self, nts: int):
+        """Write packets + grid state, the resume point for timestep
+        ``nts`` (gridsave/packets .tmp analogue, sn3d.cc:387-512)."""
+        path = os.path.join(self.out_dir, f"checkpoint_ts{nts}.npz")
+        arrays = {f"pkt_{k}": v for k, v in to_numpy(self.packets).items()}
+        g = self.grid
+        np.savez_compressed(
+            path, nts=nts, etot=self.etot,
+            grid_Te=g.Te, grid_TR=g.TR, grid_TJ=g.TJ, grid_W=g.W,
+            grid_thick=g.thick, grid_kappagrey=g.kappagrey,
+            grid_rho=g.rho, grid_elem_abund=g.elem_abund,
+            est_J_prev=(self.est_J_prev if self.est_J_prev is not None
+                        else np.zeros(0)),
+            deltat_prev=self.deltat_prev,
+            **arrays)
+        # keep only the latest two checkpoints (numeric timestep order)
+        cps = sorted(
+            (f for f in os.listdir(self.out_dir)
+             if f.startswith("checkpoint_ts")),
+            key=lambda f: int(f[len("checkpoint_ts"):-len(".npz")]))
+        for old in cps[:-2]:
+            os.remove(os.path.join(self.out_dir, old))
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        nts = int(data["nts"])
+        pk = {k[len("pkt_"):]: data[k] for k in data.files
+              if k.startswith("pkt_")}
+        self.packets = from_numpy(pk)
+        g = self.grid
+        g.Te = data["grid_Te"]
+        g.TR = data["grid_TR"]
+        g.TJ = data["grid_TJ"]
+        g.W = data["grid_W"]
+        g.thick = data["grid_thick"]
+        g.kappagrey = data["grid_kappagrey"]
+        g.rho = data["grid_rho"]
+        g.elem_abund = data["grid_elem_abund"]
+        ej = data["est_J_prev"]
+        self.est_J_prev = ej if ej.size else None
+        self.deltat_prev = float(data["deltat_prev"])
+        self.nts_done = nts
+
+    # -- outputs ------------------------------------------------------
+    def escaped_arrays_cgs(self) -> dict[str, np.ndarray]:
+        """Escaped-packet state converted back to CGS float64."""
+        arr = to_numpy(self.packets)
+        u = self.units
+        return {
+            "ptype": arr["ptype"],
+            "escape_type": arr["escape_type"],
+            "pos": arr["pos"].astype(np.float64) * u.x_unit,
+            "dirvec": arr["dirvec"].astype(np.float64),
+            "nu_rf": arr["nu_rf"].astype(np.float64),
+            "nu_cmf": arr["nu_cmf"].astype(np.float64),
+            "e_rf": arr["e_rf"].astype(np.float64) * u.e0,
+            "e_cmf": arr["e_cmf"].astype(np.float64) * u.e0,
+            "escape_time": arr["escape_time"].astype(np.float64) * u.tmin,
+        }
+
+    def build_spectra(self, escape_type: int = 11):
+        esc = spectra_mod.select_escaped(self.escaped_arrays_cgs(),
+                                         escape_type)
+        cfg = self.cfg
+        if escape_type == 11:  # r-packets
+            nu_min, nu_max = cfg.nu_min_r, cfg.nu_max_r
+            nnu = cfg.nnubins_r
+        else:  # gamma
+            nu_min, nu_max = cfg.nusyn_min, cfg.nusyn_max
+            nnu = cfg.nnubins_gamma
+        return spectra_mod.build_spectra(esc, self.ts, nu_min, nu_max,
+                                         nnu, vmax=self.grid.vmax)
+
+    def write_outputs(self):
+        out = self.out_dir
+        spec_r = self.build_spectra(11)
+        spectra_mod.write_light_curve(
+            os.path.join(out, "light_curve.out"), spec_r)
+        spectra_mod.write_spectrum(os.path.join(out, "spec.out"), spec_r)
+        spec_g = self.build_spectra(10)
+        spectra_mod.write_light_curve(
+            os.path.join(out, "gamma_light_curve.out"), spec_g)
+        spectra_mod.write_spectrum(
+            os.path.join(out, "gamma_spec.out"), spec_g)
+        with open(os.path.join(out, "deposition.json"), "w") as f:
+            json.dump(self.dep_log, f, indent=1)

@@ -1,0 +1,263 @@
+"""Ejecta model container and readers.
+
+Rebuild of the reference's model input layer
+(reference: grid.cc:1080-1735 ``read_ejecta_model`` and friends).
+The model is a host-side numpy container; ``grid.py`` maps it onto the
+propagation grid and produces packed device tables.
+
+Supported inputs:
+* reference-format 1D ``model.txt`` (read_1d_model, grid.cc:1228-1360)
+* reference-format 3D ``model.txt`` (read_3d_model, grid.cc:1437-1601)
+* reference-format ``abundances.txt`` (Z=1..30 mass fractions per cell)
+* synthetic toy models for tests/benchmarks
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .constants import DAY, MSUN
+from .nucdata import ELSYMBOLS, NuclideTable
+
+MAX_Z_ABUND = 30  # abundances.txt covers H..Zn (Z=1..30)
+
+
+def _noncomment_lines(path: str):
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if s and not s.startswith("#"):
+                yield s
+
+
+def _parse_headerline(line: str) -> tuple[list[int], list[int], list[str]]:
+    """Parse a model.txt column-name header like
+    ``#index vel log_rho X_Fegroup X_Ni56 ... X_Sr89 cellYe`` into
+    (zlist, alist, colnames) (read_model_headerline, grid.cc:1080-1130)."""
+    names = line.lstrip("#").split()
+    # drop the standard leading columns
+    standard = {"index", "inputcellid", "velocity_outer", "vel_r_max_kmps",
+                "logrho", "rho", "pos_x_min", "pos_y_min", "pos_z_min",
+                "X_Fegroup", "X_Ni56", "X_Co56", "X_Fe52", "X_Cr48",
+                "X_Ni57", "X_Co57", "vel", "log_rho"}
+    zlist, alist, colnames = [], [], []
+    for name in names:
+        if name in standard:
+            continue
+        colnames.append(name)
+        if name.startswith("X_") and name[2:3].isalpha():
+            nucstr = name[2:]
+            sym = "".join(c for c in nucstr if c.isalpha())
+            astr = "".join(c for c in nucstr if c.isdigit())
+            if astr and sym in ELSYMBOLS:
+                zlist.append(ELSYMBOLS.index(sym))
+                alist.append(int(astr))
+                continue
+        zlist.append(-1)
+        alist.append(-1)
+    return zlist, alist, colnames
+
+
+@dataclasses.dataclass
+class Model:
+    """Ejecta snapshot at time ``t_model``.
+
+    ``initradioabund`` holds mass fractions for every nuclide in
+    ``nuclide_table`` (column order = table order). ``elem_abund``
+    holds elemental mass fractions for Z=1..MAX_Z_ABUND.
+    """
+    ndim: int
+    t_model: float  # [s]
+    vmax: float  # [cm/s] outermost ejecta velocity (per axis for 3D)
+    rho: np.ndarray  # [ncells] density at t=tmin [g/cm^3]
+    ffegrp: np.ndarray  # [ncells] Fe-group mass fraction
+    initradioabund: np.ndarray  # [ncells, n_nuclides]
+    nuclide_table: NuclideTable
+    elem_abund: Optional[np.ndarray] = None  # [ncells, MAX_Z_ABUND]
+    vout: Optional[np.ndarray] = None  # 1D: outer shell velocities [cm/s]
+    ncoord3d: Optional[tuple[int, int, int]] = None  # 3D model grid shape
+    init_ye: Optional[np.ndarray] = None  # [ncells] electron fraction
+    init_energyq: Optional[np.ndarray] = None  # [ncells] initial energy/mass
+
+    @property
+    def ncells(self) -> int:
+        return len(self.rho)
+
+    def scale_rho_to_tmin(self, tmin: float):
+        """Model densities are given at t_model; homologous expansion
+        scales them to the simulation start (grid.cc:1302)."""
+        factor = (self.t_model / tmin) ** 3
+        self.rho = self.rho * factor
+
+
+def read_1d_model(path: str, tmin: float,
+                  data_path: Optional[str] = None) -> Model:
+    """Read a reference-format 1D spherical model.txt
+    (read_1d_model, grid.cc:1228-1360)."""
+    lines = list(_noncomment_lines(path))
+    npts = int(lines[0])
+    t_model = float(lines[1]) * DAY
+
+    # optional header line with custom nuclide columns
+    with open(path) as f:
+        raw = [ln.strip() for ln in f if ln.strip()]
+    header = None
+    seen_noncomment = 0
+    for ln in raw:
+        if ln.startswith("#"):
+            if seen_noncomment == 2:
+                header = ln
+                break
+            continue
+        seen_noncomment += 1
+        if seen_noncomment > 2:
+            break
+    zlist: list[int] = []
+    alist: list[int] = []
+    if header:
+        zlist, alist, _ = _parse_headerline(header)
+
+    nt = NuclideTable.create(zlist, alist, data_path=data_path)
+
+    vout = np.zeros(npts)
+    rho_tmin = np.zeros(npts)
+    ffegrp = np.zeros(npts)
+    abund = np.zeros((npts, len(nt)))
+    rows = lines[2:2 + npts]
+    assert len(rows) == npts, f"model.txt: expected {npts} rows"
+
+    def setab(mgi, z, a, val):
+        if nt.exists(z, a):
+            abund[mgi, nt.index(z, a)] = val
+
+    for mgi, row in enumerate(rows):
+        vals = row.split()
+        assert int(vals[0]) == mgi + 1
+        vout[mgi] = float(vals[1]) * 1e5  # km/s -> cm/s
+        rho_t = 10.0 ** float(vals[2])
+        rho_tmin[mgi] = rho_t * (t_model / tmin) ** 3
+        ffegrp[mgi] = float(vals[3])
+        f56ni, f56co, f52fe, f48cr = (float(v) for v in vals[4:8])
+        setab(mgi, 28, 56, f56ni)
+        setab(mgi, 27, 56, f56co)
+        setab(mgi, 26, 52, f52fe)
+        setab(mgi, 24, 48, f48cr)
+        rest = vals[8:]
+        if len(rest) >= 2 and not zlist:
+            setab(mgi, 28, 57, float(rest[0]))
+            setab(mgi, 27, 57, float(rest[1]))
+        elif zlist:
+            if len(rest) >= 2:
+                setab(mgi, 28, 57, float(rest[0]))
+                setab(mgi, 27, 57, float(rest[1]))
+                custom_vals = rest[2:]
+            else:
+                custom_vals = rest
+            for (z, a), v in zip(zip(zlist, alist), custom_vals):
+                if z > 0:
+                    setab(mgi, z, a, float(v))
+
+    return Model(ndim=1, t_model=t_model, vmax=float(vout[-1]),
+                 rho=rho_tmin, ffegrp=ffegrp, initradioabund=abund,
+                 nuclide_table=nt, vout=vout)
+
+
+def read_abundances(path: str, ncells: int) -> np.ndarray:
+    """Read abundances.txt: per-cell elemental mass fractions Z=1..30
+    (abundances_read, grid.cc:1007-1079). Returns [ncells, 30]."""
+    out = np.zeros((ncells, MAX_Z_ABUND))
+    for i, line in enumerate(_noncomment_lines(path)):
+        vals = line.split()
+        mgi = int(vals[0]) - 1
+        row = np.array([float(v) for v in vals[1:1 + MAX_Z_ABUND]])
+        out[mgi, :len(row)] = row
+    assert i + 1 >= ncells
+    # normalise tiny numerical drift
+    norm = out.sum(axis=1, keepdims=True)
+    out = np.where(norm > 0, out / np.maximum(norm, 1e-300), out)
+    return out
+
+
+def make_toy_1d_model(nshells: int = 32, vmax: float = 2.5e9,
+                      mtot_msun: float = 1.0, mni56_msun: float = 0.5,
+                      t_model_days: float = 1.0, tmin: float = 3.0 * DAY,
+                      data_path: Optional[str] = None) -> Model:
+    """Synthetic W7-like 1D model for tests and benchmarks: exponential
+    density profile, Ni56 concentrated in the inner half."""
+    nt = NuclideTable.create(data_path=data_path)
+    t_model = t_model_days * DAY
+    vout = vmax * (np.arange(1, nshells + 1) / nshells)
+    vin = np.concatenate([[0.0], vout[:-1]])
+    vmid = 0.5 * (vin + vout)
+
+    # exponential in velocity: rho ~ exp(-v/ve)
+    ve = vmax / 4.0
+    rho_shape = np.exp(-vmid / ve)
+    vol_tmodel = 4.0 / 3.0 * np.pi * ((vout * t_model) ** 3
+                                      - (vin * t_model) ** 3)
+    mass_shape = rho_shape * vol_tmodel
+    rho_tmodel = rho_shape * (mtot_msun * MSUN / mass_shape.sum())
+    rho_tmin = rho_tmodel * (t_model / tmin) ** 3
+
+    # Ni56 inside ~ half the mass
+    xni = np.where(vmid < 0.55 * vmax, 1.0, 0.05)
+    mass = rho_tmodel * vol_tmodel
+    xni = xni * (mni56_msun * MSUN / np.sum(xni * mass))
+    xni = np.clip(xni, 0.0, 0.95)
+
+    abund = np.zeros((nshells, len(nt)))
+    abund[:, nt.index(28, 56)] = xni
+    ffegrp = np.clip(xni + 0.1, 0.0, 1.0)
+
+    elem = np.zeros((nshells, MAX_Z_ABUND))
+    elem[:, 28 - 1] = xni  # Ni
+    elem[:, 26 - 1] = np.clip(ffegrp - xni, 0, 1)  # Fe
+    elem[:, 14 - 1] = np.clip(1.0 - ffegrp, 0, 1)  # Si for the rest
+
+    return Model(ndim=1, t_model=t_model, vmax=float(vmax), rho=rho_tmin,
+                 ffegrp=ffegrp, initradioabund=abund, nuclide_table=nt,
+                 elem_abund=elem, vout=vout)
+
+
+def make_toy_3d_model(ncoord: int = 16, vmax: float = 2.5e9,
+                      mtot_msun: float = 1.0, mni56_msun: float = 0.5,
+                      t_model_days: float = 1.0, tmin: float = 3.0 * DAY,
+                      data_path: Optional[str] = None) -> Model:
+    """Synthetic spherically-symmetric 3D model on a uniform cube."""
+    nt = NuclideTable.create(data_path=data_path)
+    t_model = t_model_days * DAY
+    axis = (np.arange(ncoord) + 0.5) / ncoord * 2 - 1  # cell centres [-1,1]
+    X, Y, Z = np.meshgrid(axis, axis, axis, indexing="ij")
+    # cell ordering: x fastest (uniform_grid_setup, grid.cc:2083-2101)
+    vfrac = np.sqrt(X**2 + Y**2 + Z**2).transpose(2, 1, 0).ravel()
+    vmid = vfrac * vmax
+
+    inside = vfrac <= 1.0
+    ve = vmax / 4.0
+    rho_shape = np.where(inside, np.exp(-vmid / ve), 0.0)
+    cellvol = (2 * vmax * t_model / ncoord) ** 3
+    rho_tmodel = rho_shape * (mtot_msun * MSUN
+                              / max(np.sum(rho_shape * cellvol), 1e-300))
+    rho_tmin = rho_tmodel * (t_model / tmin) ** 3
+
+    xni = np.where(inside & (vmid < 0.55 * vmax), 1.0, 0.05) * inside
+    mass = rho_tmodel * cellvol
+    denom = np.sum(xni * mass)
+    if denom > 0:
+        xni = np.clip(xni * (mni56_msun * MSUN / denom), 0.0, 0.95)
+    ffegrp = np.clip(xni + 0.1, 0.0, 1.0) * inside
+
+    n = ncoord ** 3
+    abund = np.zeros((n, len(nt)))
+    abund[:, nt.index(28, 56)] = xni
+    elem = np.zeros((n, MAX_Z_ABUND))
+    elem[:, 28 - 1] = xni
+    elem[:, 26 - 1] = np.clip(ffegrp - xni, 0, 1)
+    elem[:, 14 - 1] = np.where(inside, np.clip(1.0 - ffegrp, 0, 1), 0.0)
+
+    return Model(ndim=3, t_model=t_model, vmax=float(vmax), rho=rho_tmin,
+                 ffegrp=ffegrp, initradioabund=abund, nuclide_table=nt,
+                 elem_abund=elem, ncoord3d=(ncoord, ncoord, ncoord))

@@ -1,0 +1,695 @@
+"""Event-stepped vectorised Monte Carlo transport kernel.
+
+This is the TPU-native replacement for the reference's hot loop
+(update_packets.cc:234-333 + do_gamma gammapkt.cc:533-700 +
+do_rpkt rpkt.cc:623-819 + update_pellet update_packets.cc:71-135 +
+do_kpkt_bb kpkt.cc:428-475). Instead of advancing one packet at a time
+through nested while loops, every iteration of a single
+``lax.while_loop`` advances *all* active packets by one event:
+
+  phase A (zero time):  pellet decays, non-thermal deposition,
+                        k-packet -> r-packet conversion
+  phase B (transport):  gamma / r-packet moves: min(boundary distance,
+                        interaction distance, end-of-timestep distance)
+
+Heterogeneous packet types are handled with masks on the same vector
+lanes (VPU-friendly), estimators accumulate via scatter-adds into
+per-cell arrays, and all randomness is counter-based per packet so
+results are independent of batch order and sharding.
+
+Everything here operates in simulation units (units.py): c == 1,
+lengths in c*tmin, times in tmin, energies in e0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geometry as geo
+from ..constants import CLIGHT, H, KB, ME, MH, MEV, SIGMA_T
+from ..nucdata import (DECAYTYPE_ALPHA, DECAYTYPE_BETAMINUS,
+                       DECAYTYPE_BETAPLUS)
+from ..packets import (PacketBatch, TYPE_ESCAPE, TYPE_GAMMA, TYPE_KPKT,
+                       TYPE_NONTHERMAL_PREDEPOSIT, TYPE_NTLEPTON,
+                       TYPE_PRE_KPKT, TYPE_RADIOACTIVE_PELLET, TYPE_RPKT)
+from ..rng import packet_uniforms, uniform_pos
+
+MEC2 = ME * CLIGHT * CLIGHT
+BIG = jnp.float32(1e30)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TransportParams:
+    """Per-run constants needed inside the kernel (device scalars +
+    small tables). Built once by the driver."""
+    x_unit: jax.Array  # [cm] length unit (c * tmin)
+    nu_min_r: jax.Array  # [Hz] optical packet range
+    nu_max_r: jax.Array
+    gamma_grey: jax.Array  # <0: physical gamma opacities; >=0 grey cm^2/g
+    max_path_step: jax.Array  # sim units
+    # bound-bound line list (descending nu; empty arrays in grey mode)
+    line_nu: jax.Array  # [nlines] f32 [Hz]
+    line_taufac_lu: jax.Array  # [nlines] Sobolev tau = (taufac_lu*n_l -
+    line_taufac_ul: jax.Array  # taufac_ul*n_u) * t_sim  (precomputed
+    #                            B_lu/B_ul * h c/(4 pi) * tmin factors)
+    line_lower: jax.Array  # [nlines] int32 global level index
+    line_upper: jax.Array  # [nlines] int32
+    # Planck inverse-CDF table
+    planck_x: jax.Array  # [P] log-spaced x = h nu / k T
+    planck_cdf: jax.Array  # [P]
+    kpkt_diffusion_dt: jax.Array  # sim-time diffusion delay this step
+
+
+def make_planck_table(npts: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+    """CDF of the Planck distribution x^3/(e^x - 1) on a log x grid.
+
+    Used to sample thermal emission frequencies by inverse transform —
+    replaces the reference's rejection loop (sample_planck,
+    kpkt.cc:428-446) which cannot be vectorised efficiently.
+    """
+    x = np.geomspace(1e-5, 60.0, npts)
+    pdf = x**3 / np.expm1(x)
+    cdf = np.concatenate([[0.0], np.cumsum(
+        0.5 * (pdf[1:] + pdf[:-1]) * np.diff(x))])
+    cdf /= cdf[-1]
+    return x.astype(np.float32), cdf.astype(np.float32)
+
+
+def zero_estimators(nmodel: int) -> dict[str, jax.Array]:
+    z = lambda: jnp.float32(0.0)
+    return {
+        "J": jnp.zeros(nmodel + 1, jnp.float32),
+        "nuJ": jnp.zeros(nmodel + 1, jnp.float32),
+        "gamma_dep": z(), "positron_dep": z(), "electron_dep": z(),
+        "alpha_dep": z(), "gamma_emission": z(), "electron_emission": z(),
+        "alpha_emission": z(), "cmf_lum": z(),
+        "pellet_decays": jnp.int32(0), "escounter": jnp.int32(0),
+        "cellcrossings": jnp.int32(0), "nesc": jnp.int32(0),
+        "interactions": jnp.int32(0), "iterations": jnp.int32(0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# gamma-ray physics (gammapkt.cc / photo_electric.cc re-derived)
+# ---------------------------------------------------------------------------
+
+def sigma_compton_partial(x, f):
+    """Integrated Klein-Nishina cross section from energy-loss factor 1
+    to f, for photon energy x = h nu / m_e c^2 (gammapkt.cc:323-333)."""
+    term1 = ((x * x) - (2.0 * x) - 2.0) * jnp.log(f) / (x * x)
+    term2 = ((f * f) - 1.0) / (f * f) / 2.0
+    term3 = ((f - 1.0) / x) * ((1.0 / x) + (2.0 / f) + 1.0 / (x * f))
+    return 3.0 * SIGMA_T * (term1 + term2 + term3) / (8.0 * x)
+
+
+def sigma_compton_total(nu_cmf):
+    """KN total cross section per electron [cm^2] with the Thomson
+    low-energy limit (sig_comp, gammapkt.cc:335-361)."""
+    x = H * nu_cmf / MEC2
+    fmax = 1.0 + 2.0 * x
+    kn = sigma_compton_partial(jnp.maximum(x, 1e-4), fmax)
+    return jnp.where(x < 1e-2, SIGMA_T, kn)
+
+
+def compton_choose_f(x, u, niter: int = 24):
+    """Invert sigma_partial(x, f) = u * sigma_partial(x, fmax) by
+    bisection (choose_f, gammapkt.cc:363-397), vectorised with a fixed
+    iteration count."""
+    fmax = 1.0 + 2.0 * x
+    norm = u * sigma_compton_partial(x, fmax)
+
+    def body(_, fb):
+        f_min, f_max = fb
+        ftry = 0.5 * (f_min + f_max)
+        s = sigma_compton_partial(x, ftry)
+        hi = s > norm
+        return jnp.where(hi, f_min, ftry), jnp.where(hi, ftry, f_max)
+
+    f_min, f_max = jax.lax.fori_loop(
+        0, niter, body, (jnp.ones_like(x), fmax))
+    return 0.5 * (f_min + f_max)
+
+
+def thomson_angle(u):
+    """Sample mu from the dipole (Thomson) phase function by the
+    standard cubic inversion (thomson_angle, gammapkt.cc:399-419)."""
+    b = (8.0 * u) - 4.0
+    t = jnp.sqrt(b * b + 4.0) - b
+    t = jnp.cbrt(t / 2.0)
+    return (1.0 / t) - t
+
+
+def sigma_photoelectric_cgs(nu_cmf, rho, ffegrp, gamma_grey):
+    """Photoelectric absorption coefficient [1/cm] in the cmf
+    (sig_photo_electric, photo_electric.cc:10-49): Si- and Fe-like
+    power-law fits weighted by the Fe-group fraction; or a grey value
+    when gamma_grey >= 0."""
+    nu100kev = nu_cmf / 2.41326e19
+    sig_si = 1.16e-24 * jnp.power(jnp.maximum(nu100kev, 1e-6), -3.13) \
+        * rho / MH / 28.0
+    sig_fe = 25.7e-24 * jnp.power(jnp.maximum(nu100kev, 1e-6), -3.0) \
+        * rho / MH / 56.0
+    phys = sig_fe * ffegrp + sig_si * (1.0 - ffegrp)
+    return jnp.where(gamma_grey < 0, phys, gamma_grey * rho)
+
+
+def sigma_pairprod_cgs(nu_cmf, rho, ffegrp, gamma_grey):
+    """Pair-production coefficient [1/cm] in the cmf
+    (sig_pair_prod, photo_electric.cc:51-114)."""
+    nu_ratio = nu_cmf / 2.41326e20  # units of 1 MeV-equivalent frequency
+    lowband = 1.0063 * (nu_ratio - 1.022)
+    highband = 0.0481 + 0.301 * (nu_ratio - 1.5)
+    fac = jnp.where(nu_cmf > 3.61990e20, highband, lowband)
+    sig_si = fac * 196.0e-27 * rho / MH / 28.0
+    sig_fe = fac * 784.0e-27 * rho / MH / 56.0
+    sig = sig_fe * ffegrp + sig_si * (1.0 - ffegrp)
+    sig = jnp.where(nu_cmf > 2.46636e20, sig, 0.0)
+    return jnp.where(gamma_grey < 0, jnp.maximum(sig, 0.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# thermal (Planck) frequency sampling
+# ---------------------------------------------------------------------------
+
+def sample_planck_nu(u, T, params: TransportParams):
+    """Inverse-CDF Planck sample restricted to [nu_min_r, nu_max_r]
+    (replaces sample_planck, kpkt.cc:428-446)."""
+    xs, cdf = params.planck_x, params.planck_cdf
+    Tsafe = jnp.maximum(T, 1.0)
+    x_lo = H * params.nu_min_r / (KB * Tsafe)
+    x_hi = H * params.nu_max_r / (KB * Tsafe)
+    c_lo = jnp.interp(x_lo, xs, cdf)
+    c_hi = jnp.interp(x_hi, xs, cdf)
+    target = c_lo + u * (c_hi - c_lo)
+    # invert the CDF (monotone): interp target on (cdf -> log x)
+    logx = jnp.interp(target, cdf, jnp.log(xs))
+    nu = jnp.exp(logx) * KB * Tsafe / H
+    return jnp.clip(nu, params.nu_min_r, params.nu_max_r)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _move(pos, dirvec, dist, t, nu_rf, e_rf, nu_cmf_old, relativistic):
+    """Move a packet ``dist`` (rest frame) and recompute cmf quantities
+    at the new position/time (move_pkt_withtime, vectors.h:113-144).
+    nu_cmf is clamped to be non-increasing to suppress rounding."""
+    new_pos = pos + dirvec * dist[..., None]
+    new_t = t + dist
+    dopp = geo.doppler_packet(new_pos, dirvec, new_t, relativistic)
+    nu_cmf = jnp.minimum(nu_rf * dopp, nu_cmf_old)
+    e_cmf = e_rf * dopp
+    return new_pos, new_t, nu_cmf, e_cmf, dopp
+
+
+def _emit_isotropic(pos, t, u1, u2, relativistic):
+    """Sample isotropic cmf direction, return (dir_rf, doppler_factor)
+    (emitt_rpkt, rpkt.cc:975-1025)."""
+    dir_cmf = geo.isotropic_direction(u1, u2)
+    vel = geo.flow_velocity(pos, t)
+    dir_rf = geo.angle_ab(dir_cmf, -vel)
+    dir_rf = geo.normalize3(dir_rf)
+    dopp = geo.doppler_nucmf_on_nurf(dir_rf, vel, relativistic)
+    return dir_rf, dopp
+
+
+# ---------------------------------------------------------------------------
+# the event step
+# ---------------------------------------------------------------------------
+
+def _event_step(pk: PacketBatch, est: dict, tables: dict,
+                params: TransportParams, t2, nts_is_first, base_key,
+                grid_type: str, ncoord: int, relativistic: bool,
+                detailed: bool):
+    """Advance every active packet by one event / conversion.
+
+    With ``detailed`` (static flag, opacity_case 4), r-packets in
+    non-thick cells undergo full frequency-dependent transport:
+    Thomson + free-free continuum plus the Sobolev line walk through
+    the frequency-sorted line list (get_event, rpkt.cc:67-328) — one
+    line encounter per kernel iteration, with the exponential optical
+    depth budget redrawn per iteration (statistically identical by
+    memorylessness).
+    """
+    N = pk.n
+    u = packet_uniforms(base_key, pk.pkt_id, pk.rng_count, salt=0, n=10)
+
+    mgi = tables["cell_mgi"][jnp.clip(pk.cell, 0, tables["cell_mgi"].shape[0] - 1)]
+    nmodel = tables["chi_grey"].shape[0] - 1
+    active = (pk.ptype != TYPE_ESCAPE) & (pk.prop_time < t2)
+
+    new = {f.name: getattr(pk, f.name)
+           for f in dataclasses.fields(PacketBatch)}
+
+    def upd(mask, **kw):
+        for k, v in kw.items():
+            m = mask
+            if new[k].ndim == 2:
+                m = mask[:, None]
+            new[k] = jnp.where(m, v, new[k])
+
+    scal = {k: jnp.float32(0.0) for k in
+            ("gamma_dep", "positron_dep", "electron_dep", "alpha_dep",
+             "gamma_emission", "electron_emission", "alpha_emission",
+             "cmf_lum")}
+    cnt = {k: jnp.int32(0) for k in
+           ("pellet_decays", "escounter", "cellcrossings", "nesc",
+            "interactions")}
+
+    def msum(mask, x):
+        return jnp.sum(jnp.where(mask, x, 0.0))
+
+    def mcount(mask):
+        return jnp.sum(mask.astype(jnp.int32))
+
+    ts = pk.prop_time
+
+    # =====================================================================
+    # phase A1: pellets (update_pellet, update_packets.cc:71-135)
+    # =====================================================================
+    is_pellet = active & (pk.ptype == TYPE_RADIOACTIVE_PELLET)
+    tdecay = pk.tdecay
+
+    # (a) decays after this timestep: ride the flow to t2
+    m_flow = is_pellet & (tdecay > t2)
+    upd(m_flow, pos=pk.pos * (t2 / ts)[:, None], prop_time=t2)
+
+    # (b) decays within (ts, t2]
+    m_decay = is_pellet & (tdecay <= t2) & (tdecay > ts)
+    pos_dec = pk.pos * (tdecay / ts)[:, None]
+    cnt["pellet_decays"] += mcount(m_decay)
+
+    m_particle = m_decay & pk.from_particle
+    is_bplus = pk.pellet_decaytype == DECAYTYPE_BETAPLUS
+    is_bminus = pk.pellet_decaytype == DECAYTYPE_BETAMINUS
+    is_alpha = pk.pellet_decaytype == DECAYTYPE_ALPHA
+    scal["positron_dep"] += msum(m_particle & is_bplus, pk.e_cmf)
+    scal["electron_emission"] += msum(m_particle & is_bminus, pk.e_cmf)
+    scal["alpha_emission"] += msum(m_particle & is_alpha, pk.e_cmf)
+    upd(m_particle & is_bplus, ptype=TYPE_NTLEPTON, pos=pos_dec,
+        prop_time=tdecay)
+    upd(m_particle & (is_bminus | is_alpha),
+        ptype=TYPE_NONTHERMAL_PREDEPOSIT, pos=pos_dec, prop_time=tdecay,
+        em_time=tdecay)
+
+    # gamma decay (pellet_gamma_decay, gammapkt.cc:256-321); the line
+    # frequency was pre-sampled at pellet init (packets.py), since it
+    # depends only on the nuclide
+    m_gamma = m_decay & ~pk.from_particle
+    scal["gamma_emission"] += msum(m_gamma, pk.e_cmf)
+    nu_line = pk.nu_decay
+    has_lines = pk.nu_decay > 0
+    dir_rf, dopp = _emit_isotropic(pos_dec, tdecay, u[:, 1], u[:, 2],
+                                   relativistic)
+    m_gline = m_gamma & has_lines
+    upd(m_gline, ptype=TYPE_GAMMA, pos=pos_dec, prop_time=tdecay,
+        dirvec=dir_rf, nu_cmf=nu_line, nu_rf=nu_line / dopp,
+        e_rf=pk.e_cmf / dopp, last_cross=geo.BOUNDARY_NONE,
+        em_time=tdecay)
+    # no known gamma spectrum -> thermalise (gammapkt.cc:266-270)
+    upd(m_gamma & ~has_lines, ptype=TYPE_KPKT, pos=pos_dec,
+        prop_time=tdecay)
+
+    # (c) decayed before tmin (first timestep only): Lucy 2004 losses
+    # (update_packets.cc:117-130); sim-time tmin == 1
+    m_pre = is_pellet & (tdecay <= ts) & nts_is_first
+    upd(m_pre, ptype=TYPE_PRE_KPKT, e_cmf=pk.e_cmf * tdecay,
+        prop_time=jnp.float32(1.0))
+
+    # =====================================================================
+    # phase A2: non-thermal deposit (do_nonthermal_predeposit,
+    # update_packets.cc:16-69) — instant deposition mode
+    # =====================================================================
+    m_nt = active & (pk.ptype == TYPE_NONTHERMAL_PREDEPOSIT)
+    scal["alpha_dep"] += msum(m_nt & is_alpha, pk.e_cmf)
+    scal["electron_dep"] += msum(m_nt & is_bminus, pk.e_cmf)
+    scal["positron_dep"] += msum(m_nt & is_bplus, pk.e_cmf)
+    upd(m_nt, ptype=TYPE_NTLEPTON)
+
+    # NT leptons: without the Spencer-Fano solver everything goes to
+    # heating -> k-packet (do_ntlepton's LTE branch, nonthermal.cc:1877)
+    m_lep = active & (pk.ptype == TYPE_NTLEPTON)
+    upd(m_lep, ptype=TYPE_KPKT)
+
+    # =====================================================================
+    # phase A3: k-packets in grey/thick cells -> Planck r-packet
+    # (do_kpkt_bb, kpkt.cc:428-475)
+    # =====================================================================
+    ptype_now = new["ptype"]
+    is_thick = tables["thick"][mgi] == 1
+    m_kpkt = active & ((ptype_now == TYPE_PRE_KPKT)
+                       | ((ptype_now == TYPE_KPKT) & is_thick)
+                       | (ptype_now == TYPE_KPKT))  # grey engine: all BB
+    # note: when the full cooling-channel sampler lands, non-thick
+    # k-packets will branch to ff/fb/coll channels here instead.
+    m_kpkt = m_kpkt & (new["ptype"] != TYPE_GAMMA)
+    pos_k = new["pos"]
+    t_k = new["prop_time"]
+    Te = tables["Te"][mgi]
+    nu_pl = sample_planck_nu(u[:, 3], Te, params)
+    dir_k, dopp_k = _emit_isotropic(pos_k, t_k, u[:, 4], u[:, 5],
+                                    relativistic)
+    upd(m_kpkt, ptype=TYPE_RPKT, nu_cmf=nu_pl, nu_rf=nu_pl / dopp_k,
+        e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
+        last_cross=geo.BOUNDARY_NONE, em_time=t_k,
+        nscatterings=jnp.int32(0), next_trans=jnp.int32(-1))
+    cnt["interactions"] += mcount(m_kpkt)
+
+    # =====================================================================
+    # phase B: gamma and r-packet transport (one event)
+    # Only packets that were already GAMMA/RPKT at the start of the
+    # iteration move in this iteration (fresh conversions move next
+    # iteration, matching the reference's re-dispatch).
+    # =====================================================================
+    m_gam = active & (pk.ptype == TYPE_GAMMA)
+    m_rpkt = active & (pk.ptype == TYPE_RPKT)
+    m_move = m_gam | m_rpkt
+
+    pos_b = pk.pos
+    t_b = pk.prop_time
+    dir_b = pk.dirvec
+
+    tau_next = -jnp.log(uniform_pos(u[:, 6]))
+
+    # boundary distance
+    if grid_type == "spherical":
+        sdist, snext, lc_new = geo.boundary_cross_spherical(
+            pos_b, dir_b, t_b, pk.cell, pk.last_cross,
+            tables["cell_mgi"].shape[0], tables["pos_min"][:, 0],
+            tables["wid"])
+    else:
+        sdist, snext, lc_new = geo.boundary_cross_uniform(
+            pos_b, dir_b, t_b, pk.cell, pk.last_cross,
+            ncoord, tables["pos_min"], tables["wid"])
+
+    clamped = sdist > params.max_path_step
+    sdist = jnp.where(clamped, params.max_path_step, sdist)
+    snext = jnp.where(clamped, pk.cell, snext)
+
+    dopp_here = geo.doppler_packet(pos_b, dir_b, t_b, relativistic)
+
+    # interaction coefficients per sim length (rest frame)
+    rho = tables["rho"][mgi]
+    ffe = tables["ffegrp"][mgi]
+    x_unit = params.x_unit
+    # gamma (do_gamma, gammapkt.cc:576-600)
+    kap_compton = jnp.where(
+        params.gamma_grey < 0,
+        sigma_compton_total(pk.nu_cmf) * tables["nnetot_sig"][mgi]
+        / SIGMA_T, 0.0) * dopp_here
+    kap_pe = sigma_photoelectric_cgs(pk.nu_cmf, rho, ffe,
+                                     params.gamma_grey) * x_unit * dopp_here
+    kap_pp = sigma_pairprod_cgs(pk.nu_cmf, rho, ffe,
+                                params.gamma_grey) * x_unit * dopp_here
+    kap_gamma_tot = kap_compton + kap_pe + kap_pp
+
+    # r-packet grey opacity (do_rpkt_step, rpkt.cc:704-727): empty cells
+    # free-stream; thick/grey cells scatter with kappa_grey * rho
+    chi_rpkt = tables["chi_grey"][mgi] * dopp_here
+    is_empty = mgi >= nmodel
+
+    kap_tot = jnp.where(m_gam, kap_gamma_tot, chi_rpkt)
+    kap_tot = jnp.where(is_empty, 0.0, kap_tot)
+    edist = jnp.where(kap_tot > 0, tau_next / jnp.maximum(kap_tot, 1e-30),
+                      BIG)
+    tdist = jnp.maximum(t2 - t_b, 0.0)
+
+    if detailed:
+        # ---- full frequency-dependent r-packet transport
+        is_thick_c = tables["thick"][mgi] == 1
+        m_det = m_rpkt & ~is_empty & ~is_thick_c
+        nlines = params.line_nu.shape[0]
+
+        # next candidate line (closest_transition, rpkt.cc:26-65):
+        # trust the stored index; re-sync by binary search when flagged
+        j_sync = jnp.searchsorted(-params.line_nu, -pk.nu_cmf,
+                                  side="left").astype(jnp.int32)
+        j_line = jnp.where(pk.next_trans >= 0, pk.next_trans, j_sync)
+        j_c = jnp.clip(j_line, 0, nlines - 1)
+        nu_trans = params.line_nu[j_c]
+        no_line = (j_line >= nlines) | (pk.nu_cmf
+                                        < params.line_nu[nlines - 1])
+        # distance to redshift into resonance (rpkt.cc:122; c == 1)
+        ldist = jnp.maximum(
+            t_b * (pk.nu_cmf / jnp.maximum(nu_trans, 1.0) - 1.0), 0.0)
+        ldist = jnp.where(no_line, BIG, ldist)
+
+        # continuum opacity: Thomson + free-free (calculate_kappa_ff,
+        # rpkt.cc:1027-1073); kff_base has the nu^-3 scale folded in
+        Te_b = jnp.maximum(tables["Te"][mgi], 1.0)
+        nu15 = jnp.maximum(pk.nu_cmf, 1e12) / 1e15
+        kff = tables["kff_base"][mgi] * jnp.power(nu15, -3.0) \
+            * (-jnp.expm1(-jnp.float32(H / KB) * pk.nu_cmf / Te_b))
+        chi_th = tables["chi_thomson"][mgi]
+        chi_cont = (chi_th + kff) * dopp_here
+        d_cont = jnp.where(chi_cont > 0,
+                           tau_next / jnp.maximum(chi_cont, 1e-30), BIG)
+        cont_first = no_line | (d_cont < ldist)
+        edist = jnp.where(m_det,
+                          jnp.where(cont_first, d_cont, ldist), edist)
+    else:
+        m_det = jnp.zeros_like(m_rpkt)
+
+    take_boundary = m_move & (sdist <= jnp.minimum(edist, tdist))
+    take_event = m_move & ~take_boundary & (edist <= tdist)
+    take_time = m_move & ~take_boundary & ~take_event
+
+    dist = jnp.where(take_boundary, sdist,
+                     jnp.where(take_event, edist, tdist))
+
+    # estimators use midpoint cmf values (do_rpkt_step moves in halves
+    # around update_estimators, rpkt.cc:737-742)
+    pos_mid = pos_b + dir_b * (0.5 * dist)[:, None]
+    t_mid = t_b + 0.5 * dist
+    dopp_mid = geo.doppler_packet(pos_mid, dir_b, t_mid, relativistic)
+    e_cmf_mid = pk.e_rf * dopp_mid
+    nu_cmf_mid = pk.nu_rf * dopp_mid
+    contrib_mask = m_rpkt & ~is_empty
+    dJ = jnp.where(contrib_mask, dist * e_cmf_mid, 0.0)
+    est_J = est["J"].at[mgi].add(dJ)
+    est_nuJ = est["nuJ"].at[mgi].add(dJ * nu_cmf_mid)
+
+    # full move
+    pos_n, t_n, nu_cmf_n, e_cmf_n, dopp_n = _move(
+        pos_b, dir_b, dist, t_b, pk.nu_rf, pk.e_rf, pk.nu_cmf,
+        relativistic)
+    upd(m_move, pos=pos_n, prop_time=t_n, nu_cmf=nu_cmf_n, e_cmf=e_cmf_n)
+
+    # ---- boundary branch
+    esc = take_boundary & (snext == -99)
+    cross = take_boundary & (snext != -99) & (snext != pk.cell)
+    upd(cross, cell=snext, last_cross=lc_new)
+    upd(take_boundary & ~esc & (snext == pk.cell), last_cross=lc_new)
+    upd(esc, ptype=TYPE_ESCAPE, escape_type=pk.ptype, escape_time=t_n)
+    cnt["cellcrossings"] += mcount(cross)
+    cnt["nesc"] += mcount(esc)
+    scal["cmf_lum"] += msum(esc & m_rpkt, e_cmf_n)
+
+    # ---- time branch: clamp clock exactly to t2
+    upd(take_time, prop_time=t2)
+
+    # ---- event branch
+    # gamma events (do_gamma, gammapkt.cc:650-695)
+    ev_gam = take_event & m_gam
+    zev = u[:, 7] * kap_gamma_tot
+    ev_compton = ev_gam & (zev < kap_compton)
+    ev_pe = ev_gam & ~ev_compton & (zev < kap_compton + kap_pe)
+    ev_pp = ev_gam & ~ev_compton & ~ev_pe
+
+    # Compton scattering (compton_scatter, gammapkt.cc:421-531)
+    xx = H * nu_cmf_n / MEC2
+    f = compton_choose_f(jnp.maximum(xx, 1e-4), u[:, 8])
+    f = jnp.where(xx < 1e-2, 1.0, f)
+    prob_gamma = 1.0 / f
+    stay_gamma = (xx < 1e-2) | (u[:, 9] < prob_gamma)
+
+    m_stay = ev_compton & stay_gamma
+    nu_cmf_sc = nu_cmf_n / f
+    vel = geo.flow_velocity(pos_n, t_n)
+    cmf_dir = geo.angle_ab(dir_b, vel)
+    cos_theta = jnp.where(xx < 1e-2, thomson_angle(u[:, 0]),
+                          1.0 - (f - 1.0) / jnp.maximum(xx, 1e-10))
+    new_dir_cmf = geo.scatter_dir(cmf_dir, jnp.clip(cos_theta, -1.0, 1.0),
+                                  u[:, 1])
+    final_dir = geo.normalize3(geo.angle_ab(new_dir_cmf, -vel))
+    dopp_sc = geo.doppler_nucmf_on_nurf(final_dir, vel, relativistic)
+    upd(m_stay, nu_cmf=nu_cmf_sc, dirvec=final_dir,
+        nu_rf=nu_cmf_sc / dopp_sc, e_rf=e_cmf_n / dopp_sc,
+        last_cross=geo.BOUNDARY_NONE)
+
+    m_elec = ev_compton & ~stay_gamma
+    upd(m_elec, ptype=TYPE_NTLEPTON)
+
+    # photoelectric -> non-thermal lepton (gammapkt.cc:670-680)
+    upd(ev_pe, ptype=TYPE_NTLEPTON)
+
+    # pair production (pair_prod, photo_electric.cc:116-166)
+    prob_gamma_pp = 1.022 * MEV / (H * jnp.maximum(nu_cmf_n, 1.0))
+    pp_gamma = ev_pp & (u[:, 8] <= prob_gamma_pp)
+    pp_lepton = ev_pp & ~pp_gamma
+    upd(pp_lepton, ptype=TYPE_NTLEPTON)
+    nu_511 = jnp.float32(0.511 * MEV / H)
+    dir_pp, dopp_pp = _emit_isotropic(pos_n, t_n, u[:, 9], u[:, 0],
+                                      relativistic)
+    upd(pp_gamma, nu_cmf=nu_511, dirvec=dir_pp, nu_rf=nu_511 / dopp_pp,
+        e_rf=e_cmf_n / dopp_pp, last_cross=geo.BOUNDARY_NONE)
+
+    # gamma deposition accounting (do_packet, update_packets.cc:148-155)
+    gam_deposited = m_gam & (new["ptype"] != TYPE_GAMMA) \
+        & (new["ptype"] != TYPE_ESCAPE)
+    scal["gamma_dep"] += msum(gam_deposited, e_cmf_n)
+
+    # r-packet thick-cell scattering (rpkt_event_thickcell,
+    # rpkt.cc:491-509): coherent isotropic re-emission
+    ev_r = take_event & m_rpkt & ~m_det
+    dir_r, dopp_r = _emit_isotropic(pos_n, t_n, u[:, 8], u[:, 9],
+                                    relativistic)
+    n_line_pass = jnp.int32(0)
+    line_pass = jnp.zeros_like(m_rpkt)
+    if detailed:
+        # ---- detailed r-packet events (rpkt_event_continuum
+        # rpkt.cc:330-447 + bound-bound rpkt_event_boundbound
+        # rpkt.cc:449-489)
+        ev_det = take_event & m_det
+        ev_cont = ev_det & cont_first
+        ev_at_line = ev_det & ~cont_first
+
+        # Sobolev optical depth of the reached line (get_event,
+        # rpkt.cc:168-189), using level populations of this cell
+        n_l = tables["levelpops"][mgi, params.line_lower[j_c]]
+        n_u = tables["levelpops"][mgi, params.line_upper[j_c]]
+        tau_line = jnp.maximum(
+            params.line_taufac_lu[j_c] * n_l
+            - params.line_taufac_ul[j_c] * n_u, 0.0) * t_b
+        tau_after = tau_next - chi_cont * ldist
+        bb_hit = ev_at_line & (tau_after < tau_line)
+        line_pass = ev_at_line & ~bb_hit  # noqa: F841 (used below)
+
+        # bound-bound: resonance re-emission in the line (macro-atom
+        # internal redistribution lands in a later milestone; this is
+        # the radiative-deexcitation-in-the-same-line channel,
+        # do_macroatom_raddeexcitation macroatom.cc:222-296)
+        upd(bb_hit, nu_cmf=nu_trans, dirvec=dir_r,
+            nu_rf=nu_trans / dopp_r, e_rf=e_cmf_n / dopp_r,
+            last_cross=geo.BOUNDARY_NONE, em_time=t_n,
+            next_trans=j_c + 1)
+        # passing through the line without interacting
+        upd(line_pass, next_trans=j_c + 1)
+
+        # continuum event: electron scatter vs free-free absorption
+        is_escat = u[:, 7] * chi_cont < chi_th * dopp_here
+        ev_escat = ev_cont & is_escat
+        ev_ff = ev_cont & ~is_escat
+        upd(ev_escat, dirvec=dir_r, nu_rf=nu_cmf_n / dopp_r,
+            e_rf=e_cmf_n / dopp_r, last_cross=geo.BOUNDARY_NONE,
+            nscatterings=pk.nscatterings + 1, em_time=t_n,
+            next_trans=j_c)
+        upd(ev_ff, ptype=TYPE_KPKT, next_trans=jnp.int32(-1))
+        cnt["escounter"] += mcount(ev_escat)
+        n_line_pass = mcount(line_pass)
+
+        # remember the candidate line index for packets that moved
+        # without a line event (boundary/time branches)
+        upd(m_det & (take_boundary | take_time), next_trans=j_line)
+        # entering an empty or thick cell invalidates the line position
+        # (closest_transition_empty resync, rpkt.cc:511-555)
+        new_cell = jnp.clip(new["cell"], 0,
+                            tables["cell_mgi"].shape[0] - 1)
+        new_mgi = tables["cell_mgi"][new_cell]
+        left_detailed = cross & m_rpkt & (
+            (new_mgi >= nmodel) | (tables["thick"][new_mgi] == 1))
+        upd(left_detailed, next_trans=jnp.int32(-1))
+
+    upd(ev_r, dirvec=dir_r, nu_rf=nu_cmf_n / dopp_r,
+        e_rf=e_cmf_n / dopp_r, last_cross=geo.BOUNDARY_NONE,
+        nscatterings=pk.nscatterings + 1, em_time=t_n)
+    cnt["escounter"] += mcount(ev_r)
+    cnt["interactions"] += mcount(take_event) - n_line_pass
+
+    # bump the RNG counter for every packet touched this iteration
+    new["rng_count"] = jnp.where(active, pk.rng_count + 1, pk.rng_count)
+    new["interactions"] = jnp.where(
+        (take_event & ~line_pass) | m_kpkt, pk.interactions + 1,
+        new["interactions"])
+
+    est_out = dict(est)
+    est_out["J"] = est_J
+    est_out["nuJ"] = est_nuJ
+    for k, v in scal.items():
+        est_out[k] = est[k] + v
+    for k, v in cnt.items():
+        est_out[k] = est[k] + v
+    est_out["iterations"] = est["iterations"] + 1
+
+    return PacketBatch(**new), est_out
+
+
+# ---------------------------------------------------------------------------
+# the per-timestep driver loop
+# ---------------------------------------------------------------------------
+
+TRANSPORTABLE = (TYPE_RADIOACTIVE_PELLET, TYPE_GAMMA, TYPE_RPKT,
+                 TYPE_KPKT, TYPE_PRE_KPKT, TYPE_NTLEPTON,
+                 TYPE_NONTHERMAL_PREDEPOSIT)
+
+
+def packets_active(p: PacketBatch, t2) -> jax.Array:
+    return (p.ptype != TYPE_ESCAPE) & (p.prop_time < t2)
+
+
+def run_timestep_chunk(pk: PacketBatch, est: dict, tables: dict,
+                       params: TransportParams, t2, nts_is_first,
+                       base_key, *, grid_type: str, ncoord: int,
+                       relativistic: bool = False, detailed: bool = False,
+                       chunk_iters: int = 512):
+    """Advance all packets by up to ``chunk_iters`` events towards the
+    end of the timestep (sim time t2).
+
+    Replaces update_packets (update_packets.cc:234-333): the multi-pass
+    sort + per-packet while loop becomes a while_loop whose body
+    advances every unfinished packet by one event. The iteration count
+    per device call is bounded so that single executions stay short
+    (friendly to execution deadlines and preemption); the host driver
+    re-invokes until ``n_active`` reaches zero — the analogue of the
+    reference's outer multi-pass loop (update_packets.cc:249-320).
+
+    Returns (packets, estimators, n_active). ``grid_type``
+    ("spherical" | "uniform") and ``ncoord`` are static.
+    """
+    t2 = jnp.float32(t2)
+
+    def cond(carry):
+        p, est_c, it = carry
+        return jnp.any(packets_active(p, t2)) & (it < chunk_iters)
+
+    def body(carry):
+        p, est_c, it = carry
+        p2, est2 = _event_step(p, est_c, tables, params, t2,
+                               nts_is_first, base_key, grid_type,
+                               ncoord, relativistic, detailed)
+        return (p2, est2, it + 1)
+
+    pk_out, est_out, _ = jax.lax.while_loop(
+        cond, body, (pk, est, jnp.int32(0)))
+    n_active = jnp.sum(packets_active(pk_out, t2).astype(jnp.int32))
+    return pk_out, est_out, n_active
+
+
+def run_timestep(pk: PacketBatch, tables: dict, params: TransportParams,
+                 t2, nts_is_first, base_key, *, grid_type: str,
+                 ncoord: int, relativistic: bool = False,
+                 detailed: bool = False, max_iters: int = 2_000_000):
+    """Single-call variant: propagate to the end of the timestep in one
+    device execution (used by the multichip dry run and tests)."""
+    est0 = zero_estimators(tables["chi_grey"].shape[0] - 1)
+    pk_out, est_out, _ = run_timestep_chunk(
+        pk, est0, tables, params, t2, nts_is_first, base_key,
+        grid_type=grid_type, ncoord=ncoord, relativistic=relativistic,
+        detailed=detailed, chunk_iters=max_iters)
+    return pk_out, est_out

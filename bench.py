@@ -1,0 +1,66 @@
+"""Benchmark: packet-events/s/chip on the grey SN Ia transport engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+"Events" counts transport-kernel work the same way the reference's
+stats counters do (stats.h:48-84): electron scatters + cell crossings +
+interactions + pellet decays. The reference publishes no numbers
+(BASELINE.md), so vs_baseline is reported against the CPU-process
+baseline recorded in BENCH_BASELINE_CPU (measured once with this same
+workload on the host CPU, a stand-in for one reference socket until the
+reference itself is benchmarked).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# measured on the 4-vCPU host with the same workload (npkts=200k,
+# 24 shells, timesteps 1-3); see tools/measure_cpu_baseline.py
+BENCH_BASELINE_CPU_EVENTS_PER_S = 3.0e6
+
+
+def main():
+    from artis_tpu import SimConfig, Simulation, make_toy_1d_model
+
+    npkts = int(os.environ.get("BENCH_NPKTS", 1_000_000))
+    cfg = SimConfig(npkts=npkts, ntimesteps=12, tmin_days=3.0,
+                    tmax_days=30.0, ftstep=12, opacity_case=0, seed=5)
+    model = make_toy_1d_model(nshells=24, tmin=cfg.tmin)
+    sim = Simulation(model, cfg)
+
+    # timestep 0 includes compilation: run it, then time steps 1..3
+    sim.advance_one_timestep(checkpoint=False, verbose=False)
+
+    t0 = time.time()
+    events = 0
+    nsteps = 3
+    for _ in range(nsteps):
+        sim.advance_one_timestep(checkpoint=False, verbose=False)
+        d = sim.dep_log[-1]
+        events += (d["escounter"] + d["cellcrossings"]
+                   + d["interactions"] + d["pellet_decays"])
+    elapsed = time.time() - t0
+
+    eps = events / elapsed
+    out = {
+        "metric": "packet-events/s/chip (grey rpkt+gamma loop)",
+        "value": round(eps, 1),
+        "unit": "events/s",
+        "vs_baseline": round(eps / BENCH_BASELINE_CPU_EVENTS_PER_S, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

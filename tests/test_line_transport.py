@@ -1,0 +1,195 @@
+"""Quantitative tests of the detailed (Sobolev line + continuum)
+r-packet transport against analytic expectations.
+
+These drive the transport kernel directly with hand-built single-line
+configurations — the unit-physics tests the reference lacks (its CI is
+end-to-end only, SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artis_tpu.constants import H, KB, PI, CLIGHT
+from artis_tpu.packets import PacketBatch, TYPE_ESCAPE, TYPE_KPKT, TYPE_RPKT
+from artis_tpu.rng import make_base_key
+from artis_tpu.transport.kernel import (TransportParams, make_planck_table,
+                                        run_timestep)
+
+NU0 = 5e14  # test line frequency [Hz]
+
+
+def make_params(line_nu=(), taufac=(), nlevels=2, **kw):
+    px, pcdf = make_planck_table()
+    f32 = jnp.float32
+    n = max(len(line_nu), 1)
+    line_nu = np.asarray(line_nu if len(line_nu) else [0.0])
+    taufac = np.asarray(taufac if len(taufac) else [0.0])
+    return TransportParams(
+        x_unit=f32(1.0), nu_min_r=f32(1e13), nu_max_r=f32(5e15),
+        gamma_grey=f32(-1.0), max_path_step=f32(1e30),
+        line_nu=jnp.asarray(line_nu, f32),
+        line_taufac_lu=jnp.asarray(taufac, f32),
+        line_taufac_ul=jnp.zeros(n, f32),
+        line_lower=jnp.zeros(n, jnp.int32),
+        line_upper=jnp.asarray(np.minimum(1, nlevels - 1)
+                               * np.ones(n), jnp.int32),
+        planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
+        kpkt_diffusion_dt=f32(0.0),
+    )
+
+
+def make_tables(ncells=1, rmax=0.1, chi_thomson=0.0, kff_base=0.0,
+                levelpop=1.0, Te=8000.0, nlevels=2):
+    """Single-shell spherical grid tables (sim units)."""
+    f32 = jnp.float32
+    nm = ncells
+    r_edges = np.linspace(0, rmax, ncells + 1)
+    pops = np.zeros((nm + 1, nlevels), np.float32)
+    pops[:nm, 0] = levelpop
+    return {
+        "cell_mgi": jnp.arange(ncells, dtype=jnp.int32),
+        "pos_min": jnp.asarray(r_edges[:-1, None], f32),
+        "wid": jnp.asarray(np.diff(r_edges), f32),
+        "chi_grey": jnp.zeros(nm + 1, f32),
+        "nnetot_sig": jnp.zeros(nm + 1, f32),
+        "rho": jnp.zeros(nm + 1, f32),
+        "ffegrp": jnp.zeros(nm + 1, f32),
+        "Te": jnp.full(nm + 1, Te, f32),
+        "thick": jnp.zeros(nm + 1, jnp.int32),
+        "rmax": f32(rmax), "vmax": f32(rmax),
+        "chi_thomson": jnp.full(nm + 1, chi_thomson, f32),
+        "kff_base": jnp.full(nm + 1, kff_base, f32),
+        "levelpops": jnp.asarray(pops),
+    }
+
+
+def make_rpkts(n, r0=0.02, nu_cmf=6e14, t0=1.0, seed=1):
+    """Radially outward r-packets at radius r0 (sim units)."""
+    f32 = lambda x: jnp.full(n, x, jnp.float32)
+    i32 = lambda x: jnp.full(n, x, jnp.int32)
+    pos = jnp.tile(jnp.asarray([[r0, 0.0, 0.0]], jnp.float32), (n, 1))
+    dirvec = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1))
+    # first-order Doppler: nu_rf = nu_cmf / (1 - v.r/c); v = r/t
+    dopp = 1.0 - r0 / t0
+    return PacketBatch(
+        pos=pos, dirvec=dirvec,
+        nu_cmf=f32(nu_cmf), nu_rf=f32(nu_cmf / dopp),
+        e_cmf=f32(1.0), e_rf=f32(1.0 / dopp),
+        prop_time=f32(t0), tdecay=f32(0.0),
+        ptype=i32(TYPE_RPKT), cell=i32(0), last_cross=i32(0),
+        pellet_nucindex=i32(0), pellet_decaytype=i32(0),
+        from_particle=jnp.zeros(n, bool),
+        escape_type=i32(0), escape_time=f32(-1.0), em_time=f32(t0),
+        nscatterings=i32(0), interactions=i32(0),
+        rng_count=i32(0), pkt_id=jnp.arange(n, dtype=jnp.int32),
+        nu_decay=f32(0.0), next_trans=i32(-1),
+    )
+
+
+def run_detailed(pk, tables, params, t2=3.0, seed=7):
+    fn = jax.jit(lambda p, tb, pr, key: run_timestep(
+        p, tb, pr, jnp.float32(t2), False, key, grid_type="spherical",
+        ncoord=tables["cell_mgi"].shape[0], detailed=True,
+        max_iters=50_000))
+    return fn(pk, tables, params, make_base_key(seed))
+
+
+def test_single_line_transmission():
+    """P(no interaction) through one resonance = exp(-tau_sobolev)."""
+    n = 4000
+    for tau_target in (0.3, 1.5):
+        n_l = 2.0
+        t0 = 1.0
+        # tau = taufac * n_l * t  ->  taufac = tau / (n_l * t)
+        # the packet redshifts into resonance at ldist = t*(nu/nu0 - 1);
+        # at that point t has grown, tau uses t at segment start (~t0)
+        params = make_params([NU0], [tau_target / n_l / t0])
+        tables = make_tables(ncells=1, rmax=0.2, levelpop=n_l)
+        pk = make_rpkts(n, r0=0.02, nu_cmf=NU0 * 1.01, t0=t0)
+        out, est = run_detailed(pk, tables, params, t2=1.5)
+        interacted = np.asarray(out.interactions) > 0
+        frac = interacted.mean()
+        # time at resonance start differs slightly from t0 due to
+        # propagation before resonance; tolerance covers it
+        expect = 1.0 - np.exp(-tau_target)
+        assert abs(frac - expect) < 0.035, (tau_target, frac, expect)
+        # interacting packets were re-emitted at the line frequency
+        nu_cmfs = np.asarray(out.nu_cmf)
+        esc = np.asarray(out.ptype) == TYPE_ESCAPE
+        # all packets eventually escape this thin shell
+        assert esc.mean() > 0.99
+
+
+def test_line_below_frequency_never_hit():
+    """A line blueward of the packet can never be reached (packets only
+    redshift)."""
+    params = make_params([NU0 * 2.0], [100.0])
+    tables = make_tables(ncells=1, rmax=0.2)
+    pk = make_rpkts(500, nu_cmf=NU0 * 1.5)
+    out, est = run_detailed(pk, tables, params, t2=1.5)
+    assert np.all(np.asarray(out.interactions) == 0)
+    assert np.all(np.asarray(out.ptype) == TYPE_ESCAPE)
+
+
+def test_multi_line_cascade_order():
+    """Packets pass multiple zero-tau lines in descending-frequency
+    order; next_trans ends past all reachable lines."""
+    lines = np.array([NU0 * 1.008, NU0 * 1.006, NU0 * 1.004, NU0 * 0.5])
+    params = make_params(lines, [0.0, 0.0, 0.0, 0.0])
+    tables = make_tables(ncells=1, rmax=0.2)
+    pk = make_rpkts(100, nu_cmf=NU0 * 1.01)
+    out, est = run_detailed(pk, tables, params, t2=1.5)
+    assert np.all(np.asarray(out.interactions) == 0)
+    # packets escaped having passed the 3 reachable lines
+    assert np.all(np.asarray(out.next_trans) >= 3)
+
+
+def test_two_line_combined_transmission():
+    """Two lines each with tau: P(no interaction) = exp(-tau1-tau2)."""
+    t1, t2_tau = 0.5, 0.8
+    lines = np.array([NU0 * 1.004, NU0 * 1.002])
+    params = make_params(lines, [t1 / 2.0, t2_tau / 2.0])
+    tables = make_tables(ncells=1, rmax=0.2, levelpop=2.0)
+    pk = make_rpkts(4000, nu_cmf=NU0 * 1.006)
+    out, est = run_detailed(pk, tables, params, t2=1.5)
+    frac_clean = (np.asarray(out.interactions) == 0).mean()
+    expect = np.exp(-t1 - t2_tau)
+    assert abs(frac_clean - expect) < 0.035
+
+
+def test_thomson_continuum_events():
+    """Pure electron-scattering medium: interaction fraction over a
+    known path matches 1 - exp(-chi * d)."""
+    chi = 8.0  # per sim length
+    tables = make_tables(ncells=1, rmax=0.2, chi_thomson=chi)
+    params = make_params()
+    r0 = 0.02
+    pk = make_rpkts(4000, r0=r0, nu_cmf=NU0)
+    # distance to shell edge ~ (rmax - r0)/(1 - rmax) corrected for
+    # expansion; use a timestep long enough to escape or scatter
+    out, est = run_detailed(pk, tables, params, t2=1.5)
+    scattered = np.asarray(out.nscatterings) > 0
+    # expected no-scatter probability across the expanding shell:
+    # integrate chi * doppler along the path — dominated by chi*d with
+    # d =~ (0.2 - 0.02); use loose tolerance for the doppler factor
+    d_geo = (0.2 * 1.0 - r0) / (1.0 - 0.2)
+    expect = 1.0 - np.exp(-chi * d_geo)
+    assert abs(scattered.mean() - expect) < 0.08
+    assert int(est["escounter"]) == np.sum(np.asarray(out.nscatterings))
+
+
+def test_ff_absorption_to_kpkt():
+    """Free-free events thermalise packets into k-packets (which then
+    re-emit as Planck r-packets)."""
+    # kff = kff_base * (nu/1e15)^-3 * (1 - exp(-h nu/k Te))
+    tables = make_tables(ncells=1, rmax=0.2, kff_base=30.0, Te=8000.0)
+    params = make_params()
+    pk = make_rpkts(2000, nu_cmf=NU0)
+    out, est = run_detailed(pk, tables, params, t2=1.5)
+    # some packets must have been ff-absorbed and re-emitted thermally
+    assert int(est["interactions"]) > 0
+    # thermal re-emission draws from the Planck distribution at Te;
+    # escaped packets include thermally re-emitted ones
+    assert np.all(np.asarray(out.ptype) != TYPE_KPKT)  # all processed

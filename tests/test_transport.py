@@ -1,0 +1,149 @@
+"""End-to-end transport invariants on a tiny toy model.
+
+These are the analogue of the reference's golden-output CI runs
+(SURVEY.md section 4), but tolerance/property-based instead of
+bit-exact MD5: deterministic seeded runs, conservation checks, and
+resume-equals-continuous.
+"""
+
+import numpy as np
+import pytest
+
+from artis_tpu import SimConfig, Simulation, make_toy_1d_model
+from artis_tpu.constants import DAY
+from artis_tpu.packets import (TYPE_ESCAPE, TYPE_GAMMA,
+                               TYPE_RADIOACTIVE_PELLET, TYPE_RPKT,
+                               to_numpy)
+
+
+def tiny_cfg(**kw):
+    base = dict(npkts=400, ntimesteps=6, tmin_days=3.0, tmax_days=12.0,
+                ftstep=6, opacity_case=0, grey_op=0.1, seed=11,
+                nnubins_r=80, nnubins_gamma=40)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def sim_done():
+    cfg = tiny_cfg()
+    model = make_toy_1d_model(nshells=8, tmin=cfg.tmin)
+    sim = Simulation(model, cfg)
+    sim.run(checkpoint=False, verbose=False)
+    return sim
+
+
+def test_all_packets_processed(sim_done):
+    arr = to_numpy(sim_done.packets)
+    t_end = sim_done.units.time_to_sim(sim_done.ts.end(5))
+    active = arr["ptype"] != TYPE_ESCAPE
+    # every non-escaped packet must have reached the end of the last
+    # timestep
+    np.testing.assert_allclose(arr["prop_time"][active], t_end,
+                               rtol=1e-5)
+    # no pellets survive beyond their decay time
+    pell = arr["ptype"] == TYPE_RADIOACTIVE_PELLET
+    assert np.all(arr["tdecay"][pell] >= t_end * (1 - 1e-5))
+
+
+def test_no_nans(sim_done):
+    arr = to_numpy(sim_done.packets)
+    for k in ("pos", "dirvec", "nu_cmf", "nu_rf", "e_cmf", "e_rf",
+              "prop_time"):
+        assert np.all(np.isfinite(arr[k])), k
+
+
+def test_packet_conversions_happened(sim_done):
+    arr = to_numpy(sim_done.packets)
+    dep = sim_done.dep_log
+    total_decays = sum(d["pellet_decays"] for d in dep)
+    # nearly all pellets decay before 12 d (Ni56 meanlife 8.8 d from a
+    # 1 d model): a good fraction decay within the simulated window
+    assert total_decays > 0.3 * sim_done.cfg.npkts
+    assert sum(d["escounter"] for d in dep) > 0
+    assert any(d["gamma_dep_Lsun"] > 0 for d in dep)
+    # some r-packets escape by 12 days
+    assert np.sum((arr["ptype"] == TYPE_ESCAPE)
+                  & (arr["escape_type"] == TYPE_RPKT)) > 0
+
+
+def test_energy_accounting(sim_done):
+    # emitted gamma energy must not exceed the total released energy,
+    # and deposition cannot exceed emission
+    e0 = sim_done.units.e0
+    etot = sim_done.etot
+    gamma_em = sum(d["gamma_emission"] for d in sim_done.dep_log)
+    assert 0 < gamma_em < etot
+    gamma_dep = sum(d["gamma_dep_Lsun"] * 3.826e33
+                    * (sim_done.ts.width[d["ts"]])
+                    for d in sim_done.dep_log)
+    assert gamma_dep <= gamma_em * 1.001
+
+
+def test_temperatures_sane(sim_done):
+    g = sim_done.grid
+    nonempty = g.rho_init > 0
+    assert np.all(g.Te[nonempty] >= sim_done.cfg.mintemp)
+    assert np.all(g.Te[nonempty] <= sim_done.cfg.maxtemp)
+
+
+def test_spectra_nonzero(sim_done):
+    spec = sim_done.build_spectra(TYPE_RPKT)
+    assert spec.lum.max() > 0
+    assert np.all(np.isfinite(spec.flux))
+    gspec = sim_done.build_spectra(TYPE_GAMMA)
+    assert np.all(np.isfinite(gspec.flux))
+
+
+def test_determinism():
+    cfg = tiny_cfg(npkts=200, ntimesteps=3, ftstep=3)
+    model = make_toy_1d_model(nshells=8, tmin=cfg.tmin)
+    outs = []
+    for _ in range(2):
+        sim = Simulation(model, cfg)
+        sim.run(checkpoint=False, verbose=False)
+        outs.append(to_numpy(sim.packets))
+    for k in outs[0]:
+        np.testing.assert_array_equal(outs[0][k], outs[1][k])
+
+
+def test_free_streaming_gamma_escape():
+    # gamma_grey = 0 and grey_op = 0: no interactions at all; every
+    # decayed gamma should eventually escape the grid unimpeded
+    cfg = tiny_cfg(npkts=300, gamma_grey=0.0, grey_op=0.0,
+                   ntimesteps=8, tmax_days=40.0, ftstep=8)
+    model = make_toy_1d_model(nshells=8, tmin=cfg.tmin)
+    sim = Simulation(model, cfg)
+    sim.run(checkpoint=False, verbose=False)
+    arr = to_numpy(sim.packets)
+    esc_gamma = (arr["ptype"] == TYPE_ESCAPE) & (arr["escape_type"]
+                                                 == TYPE_GAMMA)
+    decayed_to_gamma = ~arr["from_particle"] & (arr["tdecay"] < 0.8
+                                                * 40 / 3)
+    # all packets that decayed to gammas well before the end escaped
+    assert np.sum(esc_gamma) >= 0.9 * np.sum(decayed_to_gamma)
+    # no electron scatters can have happened
+    assert sum(d["escounter"] for d in sim.dep_log) == 0
+
+
+def test_resume_equals_continuous(tmp_path):
+    cfg = tiny_cfg(npkts=200, ntimesteps=4, ftstep=4)
+    model = make_toy_1d_model(nshells=8, tmin=cfg.tmin)
+
+    sim_a = Simulation(model, cfg, out_dir=str(tmp_path / "a"))
+    sim_a.run(checkpoint=False, verbose=False)
+
+    sim_b = Simulation(model, cfg, out_dir=str(tmp_path / "b"))
+    sim_b.run(until=2, checkpoint=False, verbose=False)
+    sim_b.save_checkpoint(2)
+
+    sim_c = Simulation(model, cfg, out_dir=str(tmp_path / "b"))
+    sim_c.load_checkpoint(str(tmp_path / "b" / "checkpoint_ts2.npz"))
+    assert sim_c.nts_done == 2
+    sim_c.run(checkpoint=False, verbose=False)
+
+    arr_a = to_numpy(sim_a.packets)
+    arr_c = to_numpy(sim_c.packets)
+    for k in arr_a:
+        np.testing.assert_array_equal(arr_a[k], arr_c[k], err_msg=k)
+    np.testing.assert_allclose(sim_a.grid.Te, sim_c.grid.Te, rtol=1e-6)
