@@ -38,6 +38,7 @@ from .plasma.grey_lte import (normalise_J, update_grid_common,
                               update_grid_grey,
                               update_temperatures_from_J)
 from .plasma.lte_case4 import compute_case4_state, update_thick_flags
+from .plasma import macroatom as ma_mod
 from .rng import make_base_key
 from .timesteps import TimestepGrid, build_timesteps
 from .transport.kernel import (TransportParams, make_planck_table,
@@ -83,8 +84,14 @@ class Simulation:
                     grid_type=self._grid_static[0],
                     ncoord=self._grid_static[1],
                     relativistic=cfg.use_relativistic_doppler,
-                    detailed=self.detailed,
-                    chunk_iters=cfg.transport_chunk_iters))
+                    detailed=self.detailed))
+        # events per device call; adapted at runtime to keep single
+        # executions in a healthy wall-time band (traced, so changing
+        # it does not recompile). The initial value scales inversely
+        # with batch size so the very first execution stays short.
+        self._chunk_iters = int(np.clip(
+            cfg.transport_chunk_iters * 100_000 // max(cfg.npkts, 1),
+            32, cfg.transport_chunk_iters))
 
         self.nts_done = cfg.itstep  # next timestep to run
         self.dep_log: list[dict] = []
@@ -126,12 +133,22 @@ class Simulation:
             taufac_ul = jnp.asarray(base, f32)
             line_lower = jnp.asarray(ad.line_lower, jnp.int32)
             line_upper = jnp.asarray(ad.line_upper, jnp.int32)
+            self._ma_static = ma_mod.build_static(ad)
+            ma_byup = jnp.asarray(self._ma_static.byup_perm, jnp.int32)
+            ma_ups = jnp.asarray(self._ma_static.up_start, jnp.int32)
+            ma_bylo = jnp.asarray(self._ma_static.bylo_perm, jnp.int32)
+            ma_los = jnp.asarray(self._ma_static.lo_start, jnp.int32)
         else:
             line_nu = jnp.zeros(1, f32)
             taufac_lu = jnp.zeros(1, f32)
             taufac_ul = jnp.zeros(1, f32)
             line_lower = jnp.zeros(1, jnp.int32)
             line_upper = jnp.zeros(1, jnp.int32)
+            self._ma_static = None
+            ma_byup = jnp.zeros(1, jnp.int32)
+            ma_ups = jnp.zeros(2, jnp.int32)
+            ma_bylo = jnp.zeros(1, jnp.int32)
+            ma_los = jnp.zeros(2, jnp.int32)
         return TransportParams(
             x_unit=f32(self.units.x_unit),
             nu_min_r=f32(cfg.nu_min_r), nu_max_r=f32(cfg.nu_max_r),
@@ -140,17 +157,35 @@ class Simulation:
             line_nu=line_nu, line_taufac_lu=taufac_lu,
             line_taufac_ul=taufac_ul, line_lower=line_lower,
             line_upper=line_upper,
+            ma_byup_perm=ma_byup, ma_up_start=ma_ups,
+            ma_bylo_perm=ma_bylo, ma_lo_start=ma_los,
             planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
             kpkt_diffusion_dt=f32(0.0),
         )
 
-    def _tables(self) -> dict:
+    def _tables(self, tmid: Optional[float] = None) -> dict:
         if self.detailed:
+            g = self.grid
             levelpops, kff_base = compute_case4_state(
-                self.grid, self.atomic_data, self.units)
-            return grid_device_tables(self.grid, self.cfg, self.units,
-                                      levelpops=levelpops,
-                                      kff_base=kff_base)
+                g, self.atomic_data, self.units)
+            tables = grid_device_tables(g, self.cfg, self.units,
+                                        levelpops=levelpops,
+                                        kff_base=kff_base)
+            mats = ma_mod.build_tables(
+                self.atomic_data, self._ma_static, levelpops,
+                g.Te, g.TR, g.W, g.nne,
+                tmid if tmid is not None else float(self.ts.mid[0]))
+            pad = lambda a: np.concatenate(
+                [a, np.zeros((1,) + a.shape[1:], a.dtype)])
+            tables["ma_proc_cum"] = jnp.asarray(pad(mats["proc_cum"]))
+            tables["ma_w_raddeexc"] = jnp.asarray(
+                pad(mats["w_raddeexc"]))
+            tables["ma_w_downsame"] = jnp.asarray(
+                pad(mats["w_downsame"]))
+            tables["ma_w_upsame"] = jnp.asarray(pad(mats["w_upsame"]))
+            tables["kp_w_collexc"] = jnp.asarray(
+                pad(mats["w_kcollexc"]))
+            return tables
         return grid_device_tables(self.grid, self.cfg, self.units)
 
     # -- main loop ----------------------------------------------------
@@ -197,26 +232,34 @@ class Simulation:
         # reference's density sort for load balance,
         # update_packets.cc:204-232).
         t2_sim = self.units.time_to_sim(self.ts.end(nts))
-        tables = self._tables()
+        tables = self._tables(tmid)
         pk = self.packets
         est = zero_estimators(self.grid.nmodel)
         chunks = 0
+        iters_done = 0
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
         t2_f32 = jnp.float32(t2_sim)
         while True:
+            t_chunk = _time.time()
             pk, est, n_active = self._step_fn(
                 pk, est, tables, self.params, t2_f32, nts == 0,
-                self.base_key)
+                self.base_key, jnp.int32(self._chunk_iters))
             chunks += 1
-            n_act = int(n_active)
+            n_act = int(n_active)  # also syncs the device
+            dt_chunk = _time.time() - t_chunk
+            iters_done += self._chunk_iters
+            # keep device executions in a 5..45 s band
+            if dt_chunk > 45.0 and self._chunk_iters > 32:
+                self._chunk_iters = max(32, self._chunk_iters // 2)
+            elif dt_chunk < 5.0 and n_act > 0:
+                self._chunk_iters = min(16384, self._chunk_iters * 2)
             if verbose and chunks % 20 == 0:
                 print(f"  [ts {nts}] chunk {chunks}: "
                       f"{n_act}/{pk.n} packets still in flight",
                       flush=True)
             if n_act == 0:
                 break
-            if chunks * self.cfg.transport_chunk_iters > \
-                    self.cfg.max_transport_iters:
+            if iters_done > self.cfg.max_transport_iters:
                 raise RuntimeError(
                     f"transport did not converge: {n_act} packets "
                     f"active after {chunks} chunks")
@@ -254,7 +297,7 @@ class Simulation:
         lanes are done. Batch sizes are restricted to N/8^k (k >= 0,
         min 4096) to bound the number of distinct compilations."""
         size = pk.n
-        min_size = 4096
+        min_size = 512
         new_size = size
         while (new_size // 8 >= max(min_size, 2 * n_act)
                and new_size // 8 >= 1):

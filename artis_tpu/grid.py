@@ -290,5 +290,14 @@ def grid_device_tables(g: Grid, cfg: SimConfig, units: Units,
                            axis=0), dtype=jnp.float32)
             if levelpops is not None
             else jnp.zeros((g.nmodel + 1, 1), jnp.float32)),
+        # macro-atom tables (replaced by plasma/macroatom.py builds in
+        # detailed mode; dummy shapes keep the pytree stable)
+        "ma_proc_cum": jnp.zeros((g.nmodel + 1, 1, 4), jnp.float32),
+        "kp_cool_ff": jnp.asarray(
+            padded(getattr(g, "cool_ff", np.zeros(g.nmodel)))),
+        "kp_w_collexc": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
+        "ma_w_raddeexc": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
+        "ma_w_downsame": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
+        "ma_w_upsame": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
     }
     return tables

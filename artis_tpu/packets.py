@@ -69,6 +69,8 @@ class PacketBatch:
     next_trans: jax.Array  # [N] int32 next candidate line index in the
     # descending-nu linelist; -1 requests a re-sync via searchsorted
     # (the reference's packet.next_trans, rpkt.cc:26-65)
+    ma_level: jax.Array  # [N] int32 active macro-atom global level
+    # index (the reference's mastate, packet.h:21-26)
 
     @property
     def n(self) -> int:
@@ -214,6 +216,7 @@ def init_pellets(cfg: SimConfig, g: Grid, dm: decay_mod.DecayModel,
         pkt_id=i32(id_offset + np.arange(npkts)),
         nu_decay=f32(nu_decay),
         next_trans=i32(np.full(npkts, -1)),
+        ma_level=i32(np.zeros(npkts)),
     )
     return batch, etot
 

@@ -67,4 +67,7 @@ def compute_case4_state(g: Grid, ad: AtomicData, units: Units
     z2n = pops.ion_numberdens @ (charges**2)
     kff_base = (3.69255e8 / np.sqrt(T) * pops.nne * z2n
                 * 1e-45 * units.x_unit)
+    # free-free cooling rate density [erg/s/cm^3]
+    # (calculate_cooling_rates, kpkt.cc:105-109)
+    g.cool_ff = 1.426e-27 * np.sqrt(T) * z2n * pops.nne
     return nl.astype(np.float32), kff_base

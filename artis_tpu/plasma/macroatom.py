@@ -1,0 +1,201 @@
+"""Macro-atom transition-rate tables.
+
+Rebuild of the reference's macro-atom machinery (reference:
+macroatom.cc) redesigned for vectorised transport: instead of
+calculating per-level process rates lazily inside the per-packet state
+machine (calculate_macroatom_transitionrates, macroatom.cc:57-159,
+cached per thread in cellhistory), ALL (cell, level) process rates and
+line-selection CDFs are precomputed once per timestep as dense arrays,
+and the on-device macro-atom walk just gathers + binary-searches them.
+
+Process channels implemented (bound-bound physics):
+  0 RADDEEXC   radiative deexcitation -> r-packet      (deactivation)
+  1 COLDEEXC   collisional deexcitation -> k-packet    (deactivation)
+  2 DOWNSAME   internal downward jump within the ion
+  3 UPSAME     internal upward jump within the ion
+
+The ionisation/recombination channels (RADRECOMB, COLRECOMB,
+INTERNALDOWNLOWER, INTERNALUPHIGHER/NT; macroatom.cc:98-158) activate
+with the photoionisation machinery in a later milestone.
+
+Rate formulas (macroatom.cc:922-1062, macroatom.h:52-150):
+  R_deexc = A_ul * beta(tau_sobolev)
+  R_exc   = (B_lu - B_ul n_u/n_l) * beta * J_nu(nu_trans)
+  C_deexc / C_exc: Van Regemorter (permitted), Axelrod (forbidden), or
+  effective collision strength.
+The radiation field is the cell's dilute blackbody J_nu = W B_nu(T_R)
+(radfield fullspec model).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..atomic import AtomicData
+from ..constants import CLIGHT, H, KB, PI, H_ionpot
+
+HCLIGHTOVERFOURPI = H * CLIGHT / (4.0 * PI)
+CLIGHTSQUAREDOVERTWOH = CLIGHT * CLIGHT / (2.0 * H)
+C_0 = 5.465e-11  # van Regemorter constant
+
+N_MA_PROC = 4
+MA_RADDEEXC, MA_COLDEEXC, MA_DOWNSAME, MA_UPSAME = 0, 1, 2, 3
+
+
+@dataclasses.dataclass(frozen=True)
+class MacroAtomStatic:
+    """Static line orderings for macro-atom sampling (host numpy)."""
+    byup_perm: np.ndarray  # [nlines] line idx sorted by upper level
+    up_start: np.ndarray  # [nlevels+1] CSR offsets into byup_perm
+    bylo_perm: np.ndarray  # [nlines] line idx sorted by lower level
+    lo_start: np.ndarray  # [nlevels+1]
+
+
+def build_static(ad: AtomicData) -> MacroAtomStatic:
+    nlev = ad.nlevels_total
+    byup = np.argsort(ad.line_upper, kind="stable").astype(np.int32)
+    bylo = np.argsort(ad.line_lower, kind="stable").astype(np.int32)
+    up_start = np.searchsorted(ad.line_upper[byup],
+                               np.arange(nlev + 1)).astype(np.int32)
+    lo_start = np.searchsorted(ad.line_lower[bylo],
+                               np.arange(nlev + 1)).astype(np.int32)
+    return MacroAtomStatic(byup_perm=byup, up_start=up_start,
+                           bylo_perm=bylo, lo_start=lo_start)
+
+
+def _planck_Jnu(nu, T, W):
+    """Dilute blackbody mean intensity W * B_nu(T_R) [erg/s/cm^2/Hz/sr]
+    (radfield fullspec model, radfield.cc:898)."""
+    with np.errstate(over="ignore", divide="ignore"):
+        x = H * nu / (KB * np.maximum(T, 1.0))
+        b = 2.0 * H * nu**3 / CLIGHT**2 / np.expm1(np.minimum(x, 500.0))
+    return W * np.where(np.isfinite(b), b, 0.0)
+
+
+def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
+                 levelpops: np.ndarray, Te: np.ndarray, TR: np.ndarray,
+                 W: np.ndarray, nne: np.ndarray, t_mid: float):
+    """Per-timestep macro-atom tables for all cells.
+
+    Returns dict (numpy float32):
+      proc_cum     [ncells, nlevels, 4] cumulative process-rate sums
+      w_raddeexc   [ncells, nlines] cumulative R*eps_trans in by-upper
+                   line order (restricted sums per level span)
+      w_downsame   [ncells, nlines] cumulative (R+C)*eps_lower
+      w_upsame     [ncells, nlines] cumulative (R_exc+C_exc)*eps_cur
+                   in by-lower order
+    """
+    ncells = levelpops.shape[0]
+    nlines = ad.nlines
+
+    Te = np.maximum(np.asarray(Te, dtype=np.float64), 1.0)[:, None]
+    nne_c = np.asarray(nne, dtype=np.float64)[:, None]
+    nl = np.asarray(levelpops, dtype=np.float64)
+
+    lo, up = ad.line_lower, ad.line_upper
+    nu = ad.line_nu[None, :]
+    A = ad.line_A[None, :]
+    g_l = ad.level_g[lo][None, :]
+    g_u = ad.level_g[up][None, :]
+    eps_trans = (ad.level_energy[up] - ad.level_energy[lo])[None, :]
+
+    # the MA weights use the absolute epsilon including ionisation
+    # offsets (epsilon(), macroatom.cc:76-83)
+    eps_abs = ad.level_energy
+    eps_lo_abs = eps_abs[lo][None, :]
+    eps_cur_lo = eps_abs[lo][None, :]  # for upsame, current = lower
+
+    n_l = nl[:, lo]
+    n_u = nl[:, up]
+
+    B_ul = CLIGHTSQUAREDOVERTWOH / ad.line_nu**3 * ad.line_A
+    B_lu = (ad.level_g[up] / ad.level_g[lo]) * B_ul
+    tau = np.maximum((B_lu[None, :] * n_l - B_ul[None, :] * n_u)
+                     * HCLIGHTOVERFOURPI * t_mid, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        beta = np.where(tau > 1e-50, -np.expm1(-tau) / np.maximum(tau, 1e-50),
+                        1.0)
+
+    R_deexc = np.where(tau > 1e-50, A * beta, 0.0)
+
+    Jnu = _planck_Jnu(nu, np.asarray(TR, np.float64)[:, None],
+                      np.asarray(W, np.float64)[:, None])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        R_over_J = np.where(n_l > 0,
+                            (B_lu[None, :] - B_ul[None, :] * n_u
+                             / np.maximum(n_l, 1e-300)) * beta,
+                            B_lu[None, :] * beta)
+    R_exc = np.where(tau > 1e-50, np.maximum(R_over_J, 0.0) * Jnu, 0.0)
+
+    # collisional rates (macroatom.h:52-150)
+    eokt = eps_trans / (KB * Te)
+    cs = ad.line_coll_str[None, :]
+    forb = ad.line_forbidden[None, :]
+    f_lu = ad.line_f[None, :]
+    sqTe = np.sqrt(Te)
+
+    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+        gaunt = np.where(eokt > 0.33421, 0.2,
+                         0.276 * np.exp(np.minimum(eokt, 500.0))
+                         * (-0.5772156649 - np.log(np.maximum(eokt,
+                                                              1e-30))))
+        vr_deexc = (C_0 * 14.51039491 * nne_c * sqTe * f_lu
+                    * (H_ionpot / eps_trans) ** 2 * eokt * (g_l / g_u)
+                    * gaunt)
+        vr_exc = (C_0 * nne_c * sqTe * 14.51039491 * f_lu
+                  * (H_ionpot / eps_trans) ** 2 * eokt
+                  * np.exp(-np.minimum(eokt, 500.0)) * np.maximum(gaunt,
+                                                                  0.2))
+        axel_deexc = nne_c * 8.629e-6 * 0.01 * g_l / sqTe
+        axel_exc = (nne_c * 8.629e-6 * 0.01
+                    * np.exp(-np.minimum(eokt, 500.0)) * g_u / sqTe)
+        cs_deexc = nne_c * 8.629e-6 * cs / g_u / sqTe
+        cs_exc = (nne_c * 8.629e-6 * cs
+                  * np.exp(-np.minimum(eokt, 500.0)) / g_l / sqTe)
+
+    C_deexc = np.where(cs >= 0, cs_deexc,
+                       np.where(forb, axel_deexc, vr_deexc))
+    C_exc = np.where(cs >= 0, cs_exc, np.where(forb, axel_exc, vr_exc))
+
+    # per-line weights
+    w_rad = R_deexc * eps_trans
+    w_col = C_deexc * eps_trans
+    w_down = (R_deexc + C_deexc) * eps_lo_abs
+    w_up = (R_exc + C_exc) * eps_cur_lo
+
+    # aggregate per level
+    nlev = ad.nlevels_total
+    proc = np.zeros((ncells, nlev, N_MA_PROC))
+
+    def agg(weights, level_idx, proc_idx):
+        np.add.at(proc[:, :, proc_idx].T, level_idx, weights.T)
+
+    agg(w_rad, up, MA_RADDEEXC)
+    agg(w_col, up, MA_COLDEEXC)
+    agg(w_down, up, MA_DOWNSAME)
+    agg(w_up, lo, MA_UPSAME)
+
+    proc_cum = np.cumsum(proc, axis=2)
+
+    # cumulative line-weight rows (global cumsum; spans are recovered
+    # by subtracting the value at span start during sampling)
+    w_rad_cum = np.cumsum(w_rad[:, ma_static.byup_perm], axis=1)
+    w_down_cum = np.cumsum(w_down[:, ma_static.byup_perm], axis=1)
+    w_up_cum = np.cumsum(w_up[:, ma_static.bylo_perm], axis=1)
+
+    # k-packet collisional-excitation cooling channel weights per line
+    # (get_cooling_ion_coll_exc, kpkt.cc; per volume: rate coeff *
+    # lower-level population * transition energy), cumulative in the
+    # global descending-nu line order for direct binary search
+    w_kcollexc_cum = np.cumsum(C_exc * eps_trans * n_l, axis=1)
+
+    f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)
+    return {
+        "proc_cum": f32(proc_cum),
+        "w_raddeexc": f32(w_rad_cum),
+        "w_downsame": f32(w_down_cum),
+        "w_upsame": f32(w_up_cum),
+        "w_kcollexc": f32(w_kcollexc_cum),
+    }

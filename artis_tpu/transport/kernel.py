@@ -34,8 +34,9 @@ from ..constants import CLIGHT, H, KB, ME, MH, MEV, SIGMA_T
 from ..nucdata import (DECAYTYPE_ALPHA, DECAYTYPE_BETAMINUS,
                        DECAYTYPE_BETAPLUS)
 from ..packets import (PacketBatch, TYPE_ESCAPE, TYPE_GAMMA, TYPE_KPKT,
-                       TYPE_NONTHERMAL_PREDEPOSIT, TYPE_NTLEPTON,
-                       TYPE_PRE_KPKT, TYPE_RADIOACTIVE_PELLET, TYPE_RPKT)
+                       TYPE_MA, TYPE_NONTHERMAL_PREDEPOSIT,
+                       TYPE_NTLEPTON, TYPE_PRE_KPKT,
+                       TYPE_RADIOACTIVE_PELLET, TYPE_RPKT)
 from ..rng import packet_uniforms, uniform_pos
 
 MEC2 = ME * CLIGHT * CLIGHT
@@ -59,6 +60,11 @@ class TransportParams:
     #                            B_lu/B_ul * h c/(4 pi) * tmin factors)
     line_lower: jax.Array  # [nlines] int32 global level index
     line_upper: jax.Array  # [nlines] int32
+    # macro-atom static line orderings (see plasma/macroatom.py)
+    ma_byup_perm: jax.Array  # [nlines] int32
+    ma_up_start: jax.Array  # [nlevels+1] int32
+    ma_bylo_perm: jax.Array  # [nlines] int32
+    ma_lo_start: jax.Array  # [nlevels+1] int32
     # Planck inverse-CDF table
     planck_x: jax.Array  # [P] log-spaced x = h nu / k T
     planck_cdf: jax.Array  # [P]
@@ -91,6 +97,8 @@ def zero_estimators(nmodel: int) -> dict[str, jax.Array]:
         "pellet_decays": jnp.int32(0), "escounter": jnp.int32(0),
         "cellcrossings": jnp.int32(0), "nesc": jnp.int32(0),
         "interactions": jnp.int32(0), "iterations": jnp.int32(0),
+        "ma_activations": jnp.int32(0), "ma_deact_rad": jnp.int32(0),
+        "ma_deact_col": jnp.int32(0), "ma_jumps": jnp.int32(0),
     }
 
 
@@ -238,7 +246,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     memorylessness).
     """
     N = pk.n
-    u = packet_uniforms(base_key, pk.pkt_id, pk.rng_count, salt=0, n=10)
+    u = packet_uniforms(base_key, pk.pkt_id, pk.rng_count, salt=0, n=13)
 
     mgi = tables["cell_mgi"][jnp.clip(pk.cell, 0, tables["cell_mgi"].shape[0] - 1)]
     nmodel = tables["chi_grey"].shape[0] - 1
@@ -260,7 +268,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
              "cmf_lum")}
     cnt = {k: jnp.int32(0) for k in
            ("pellet_decays", "escounter", "cellcrossings", "nesc",
-            "interactions")}
+            "interactions", "ma_activations", "ma_deact_rad",
+            "ma_deact_col", "ma_jumps")}
 
     def msum(mask, x):
         return jnp.sum(jnp.where(mask, x, 0.0))
@@ -338,27 +347,156 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     upd(m_lep, ptype=TYPE_KPKT)
 
     # =====================================================================
-    # phase A3: k-packets in grey/thick cells -> Planck r-packet
-    # (do_kpkt_bb, kpkt.cc:428-475)
+    # phase A2b: macro-atom jump (do_macroatom, macroatom.cc:416-901):
+    # one (ion,level)-space jump per iteration, sampling the process
+    # and target line from the precomputed per-(cell,level) tables
+    # =====================================================================
+    if detailed:
+        nlev = params.ma_up_start.shape[0] - 1
+        m_ma = active & (pk.ptype == TYPE_MA)
+        lvl = jnp.clip(pk.ma_level, 0, nlev - 1)
+        pc = tables["ma_proc_cum"][mgi, lvl]  # [N, 4] cumulative
+        ma_total = pc[:, 3]
+        ma_stuck = m_ma & (ma_total <= 0)
+        target_p = u[:, 10] * ma_total
+        # process index: count how many cumulative sums are below target
+        k_proc = jnp.sum((target_p[:, None] >= pc).astype(jnp.int32),
+                         axis=1)
+        k_proc = jnp.clip(k_proc, 0, 3)
+
+        # line selection: binary search the cumulative weight row over
+        # this level's CSR span (replaces the linear scans in
+        # do_macroatom_internal_down_same, macroatom.cc:174-220)
+        is_up = k_proc == 3  # MA_UPSAME
+        span_s = jnp.where(is_up, params.ma_lo_start[lvl],
+                           params.ma_up_start[lvl])
+        span_e = jnp.where(is_up, params.ma_lo_start[lvl + 1],
+                           params.ma_up_start[lvl + 1])
+        span_e = jnp.maximum(span_e, span_s + 1)
+
+        def cumw(i):
+            i = jnp.clip(i, 0, tables["ma_w_raddeexc"].shape[1] - 1)
+            vr = tables["ma_w_raddeexc"][mgi, i]
+            vd = tables["ma_w_downsame"][mgi, i]
+            vu = tables["ma_w_upsame"][mgi, i]
+            return jnp.where(k_proc == 3, vu,
+                             jnp.where(k_proc == 2, vd, vr))
+
+        base_w = jnp.where(span_s > 0, cumw(span_s - 1), 0.0)
+        tot_w = cumw(span_e - 1) - base_w
+        target_w = base_w + u[:, 11] * tot_w
+
+        def bs_body(_, lohi):
+            lo_i, hi_i = lohi
+            mid = (lo_i + hi_i) // 2
+            below = cumw(mid) < target_w
+            return (jnp.where(below, mid + 1, lo_i),
+                    jnp.where(below, hi_i, mid))
+
+        lo_i, hi_i = jax.lax.fori_loop(
+            0, 20, bs_body, (span_s, span_e - 1))
+        k_pos = jnp.clip(lo_i, span_s, span_e - 1)
+        k_line = jnp.where(is_up, params.ma_bylo_perm[k_pos],
+                           params.ma_byup_perm[k_pos])
+        k_line = jnp.clip(k_line, 0, params.line_nu.shape[0] - 1)
+
+        # actions
+        ma_rad = m_ma & ~ma_stuck & (k_proc == 0)
+        ma_col = m_ma & (ma_stuck | (k_proc == 1))
+        ma_down = m_ma & ~ma_stuck & (k_proc == 2)
+        ma_up_j = m_ma & ~ma_stuck & (k_proc == 3)
+
+        # radiative deexcitation -> r-packet in the selected line
+        # (do_macroatom_raddeexcitation, macroatom.cc:222-296)
+        nu_ma = params.line_nu[k_line]
+        dir_ma, dopp_ma = _emit_isotropic(pk.pos, pk.prop_time,
+                                          u[:, 4], u[:, 5],
+                                          relativistic)
+        upd(ma_rad, ptype=TYPE_RPKT, nu_cmf=nu_ma,
+            nu_rf=nu_ma / dopp_ma, e_rf=pk.e_cmf / dopp_ma,
+            dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
+            em_time=pk.prop_time, next_trans=k_line + 1,
+            nscatterings=jnp.int32(0))
+        # collisional deexcitation -> k-packet (macroatom.cc:689-757)
+        upd(ma_col, ptype=TYPE_KPKT, next_trans=jnp.int32(-1))
+        # internal jumps
+        upd(ma_down, ma_level=params.line_lower[k_line])
+        upd(ma_up_j, ma_level=params.line_upper[k_line])
+
+        cnt["ma_deact_rad"] += mcount(ma_rad)
+        cnt["ma_deact_col"] += mcount(ma_col)
+        cnt["ma_jumps"] += mcount(ma_down | ma_up_j)
+
+    # =====================================================================
+    # phase A3: k-packets. In grey/thick cells (and for pre-tmin
+    # packets) they re-emit as Planck r-packets (do_kpkt_bb,
+    # kpkt.cc:428-475). In detailed cells the cooling channel is
+    # sampled (do_kpkt, kpkt.cc:477-851): free-free emission or
+    # collisional excitation -> macro-atom. (The free-bound and
+    # collisional-ionisation channels activate with the
+    # photoionisation machinery.)
     # =====================================================================
     ptype_now = new["ptype"]
     is_thick = tables["thick"][mgi] == 1
-    m_kpkt = active & ((ptype_now == TYPE_PRE_KPKT)
-                       | ((ptype_now == TYPE_KPKT) & is_thick)
-                       | (ptype_now == TYPE_KPKT))  # grey engine: all BB
-    # note: when the full cooling-channel sampler lands, non-thick
-    # k-packets will branch to ff/fb/coll channels here instead.
-    m_kpkt = m_kpkt & (new["ptype"] != TYPE_GAMMA)
+    m_kpkt_all = active & ((ptype_now == TYPE_PRE_KPKT)
+                           | (ptype_now == TYPE_KPKT))
     pos_k = new["pos"]
     t_k = new["prop_time"]
     Te = tables["Te"][mgi]
-    nu_pl = sample_planck_nu(u[:, 3], Te, params)
     dir_k, dopp_k = _emit_isotropic(pos_k, t_k, u[:, 4], u[:, 5],
                                     relativistic)
-    upd(m_kpkt, ptype=TYPE_RPKT, nu_cmf=nu_pl, nu_rf=nu_pl / dopp_k,
+    if detailed:
+        nmodel_k = tables["chi_grey"].shape[0] - 1
+        in_det_cell = ~is_thick & (mgi < nmodel_k)
+        cool_ff = tables["kp_cool_ff"][mgi]
+        nlines_k = tables["kp_w_collexc"].shape[1]
+        cool_exc = tables["kp_w_collexc"][mgi, nlines_k - 1]
+        cool_tot = cool_ff + cool_exc
+        m_kcool = (m_kpkt_all & (ptype_now == TYPE_KPKT) & in_det_cell
+                   & (cool_tot > 0))
+        m_kbb = m_kpkt_all & ~m_kcool
+
+        ch = u[:, 3] * cool_tot
+        k_ff = m_kcool & (ch < cool_ff)
+        k_exc = m_kcool & ~k_ff
+
+        # ff emission: nu ~ exp(-h nu / k Te) (kpkt.cc:602-607)
+        nu_ff = jnp.maximum(-jnp.float32(KB / H) * Te
+                            * jnp.log(uniform_pos(u[:, 6])), 1e11)
+        upd(k_ff, ptype=TYPE_RPKT, nu_cmf=nu_ff, nu_rf=nu_ff / dopp_k,
+            e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
+            last_cross=geo.BOUNDARY_NONE, em_time=t_k,
+            nscatterings=jnp.int32(0), next_trans=jnp.int32(-1))
+
+        # collisional excitation: select the line by binary search of
+        # the cumulative cooling row, activate the macro-atom in its
+        # upper level (kpkt.cc:696-760)
+        target_k = jnp.clip(u[:, 12], 0.0, 1.0) * cool_exc
+
+        def kbs_body(_, lohi):
+            lo_i, hi_i = lohi
+            mid = (lo_i + hi_i) // 2
+            below = tables["kp_w_collexc"][
+                mgi, jnp.clip(mid, 0, nlines_k - 1)] < target_k
+            return (jnp.where(below, mid + 1, lo_i),
+                    jnp.where(below, hi_i, mid))
+
+        klo, khi = jax.lax.fori_loop(
+            0, 20, kbs_body,
+            (jnp.zeros_like(pk.cell), jnp.full_like(pk.cell,
+                                                    nlines_k - 1)))
+        k_sel = jnp.clip(klo, 0, params.line_upper.shape[0] - 1)
+        upd(k_exc, ptype=TYPE_MA, ma_level=params.line_upper[k_sel],
+            next_trans=jnp.int32(-1))
+    else:
+        m_kbb = m_kpkt_all
+
+    nu_pl = sample_planck_nu(u[:, 3], Te, params)
+    upd(m_kbb, ptype=TYPE_RPKT, nu_cmf=nu_pl, nu_rf=nu_pl / dopp_k,
         e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
         last_cross=geo.BOUNDARY_NONE, em_time=t_k,
         nscatterings=jnp.int32(0), next_trans=jnp.int32(-1))
+    m_kpkt = m_kpkt_all
     cnt["interactions"] += mcount(m_kpkt)
 
     # =====================================================================
@@ -421,24 +559,22 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     tdist = jnp.maximum(t2 - t_b, 0.0)
 
     if detailed:
-        # ---- full frequency-dependent r-packet transport
+        # ---- full frequency-dependent r-packet transport:
+        # the Sobolev line walk (get_event, rpkt.cc:67-328) as a
+        # bounded vectorised loop over up to LWALK lines per kernel
+        # iteration, accumulating continuum + line optical depth
+        # against one exponential budget — the exact reference
+        # algorithm, batched.
         is_thick_c = tables["thick"][mgi] == 1
         m_det = m_rpkt & ~is_empty & ~is_thick_c
         nlines = params.line_nu.shape[0]
+        LWALK = 24
 
         # next candidate line (closest_transition, rpkt.cc:26-65):
         # trust the stored index; re-sync by binary search when flagged
         j_sync = jnp.searchsorted(-params.line_nu, -pk.nu_cmf,
                                   side="left").astype(jnp.int32)
-        j_line = jnp.where(pk.next_trans >= 0, pk.next_trans, j_sync)
-        j_c = jnp.clip(j_line, 0, nlines - 1)
-        nu_trans = params.line_nu[j_c]
-        no_line = (j_line >= nlines) | (pk.nu_cmf
-                                        < params.line_nu[nlines - 1])
-        # distance to redshift into resonance (rpkt.cc:122; c == 1)
-        ldist = jnp.maximum(
-            t_b * (pk.nu_cmf / jnp.maximum(nu_trans, 1.0) - 1.0), 0.0)
-        ldist = jnp.where(no_line, BIG, ldist)
+        j0 = jnp.where(pk.next_trans >= 0, pk.next_trans, j_sync)
 
         # continuum opacity: Thomson + free-free (calculate_kappa_ff,
         # rpkt.cc:1027-1073); kff_base has the nu^-3 scale folded in
@@ -447,12 +583,63 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         kff = tables["kff_base"][mgi] * jnp.power(nu15, -3.0) \
             * (-jnp.expm1(-jnp.float32(H / KB) * pk.nu_cmf / Te_b))
         chi_th = tables["chi_thomson"][mgi]
-        chi_cont = (chi_th + kff) * dopp_here
-        d_cont = jnp.where(chi_cont > 0,
-                           tau_next / jnp.maximum(chi_cont, 1e-30), BIG)
-        cont_first = no_line | (d_cont < ldist)
-        edist = jnp.where(m_det,
-                          jnp.where(cont_first, d_cont, ldist), edist)
+        chi_cont = jnp.maximum((chi_th + kff) * dopp_here, 1e-30)
+
+        dist_limit = jnp.minimum(sdist, tdist)
+        WK_WALKING, WK_CONT, WK_BB, WK_LIMIT = 0, 1, 2, 3
+
+        def walk_body(_, st):
+            jw, ldist_prev, tau_acc, kind, ev_dist, ev_line = st
+            walking = kind == WK_WALKING
+            jc = jnp.clip(jw, 0, nlines - 1)
+            nu_t = params.line_nu[jc]
+            have_line = jw < nlines
+            ldist_j = jnp.where(
+                have_line,
+                t_b * (pk.nu_cmf / jnp.maximum(nu_t, 1.0) - 1.0), BIG)
+            ldist_j = jnp.maximum(ldist_j, ldist_prev)
+
+            # continuum event before the line / the limit?
+            d_cont = ldist_prev + (tau_next - tau_acc) / chi_cont
+            cont_ev = walking & (d_cont < jnp.minimum(ldist_j,
+                                                      dist_limit))
+            # boundary/timestep reached before the line?
+            lim_ev = walking & ~cont_ev & (ldist_j > dist_limit)
+            # otherwise the line is reached: Sobolev tau decides
+            reach = walking & ~cont_ev & ~lim_ev & have_line
+            n_l = tables["levelpops"][mgi, params.line_lower[jc]]
+            n_u = tables["levelpops"][mgi, params.line_upper[jc]]
+            tau_l = jnp.maximum(
+                params.line_taufac_lu[jc] * n_l
+                - params.line_taufac_ul[jc] * n_u, 0.0) \
+                * (t_b + ldist_prev)
+            tau_acc2 = tau_acc + chi_cont * (ldist_j - ldist_prev)
+            bb = reach & (tau_acc2 + tau_l >= tau_next)
+            passed = reach & ~bb
+
+            kind = jnp.where(cont_ev, WK_CONT,
+                             jnp.where(lim_ev, WK_LIMIT,
+                                       jnp.where(bb, WK_BB, kind)))
+            ev_dist = jnp.where(cont_ev, d_cont,
+                                jnp.where(bb, ldist_j, ev_dist))
+            ev_line = jnp.where(bb, jc, ev_line)
+            jw = jnp.where(passed | bb, jw + 1, jw)
+            tau_acc = jnp.where(passed, tau_acc2 + tau_l, tau_acc)
+            ldist_prev = jnp.where(passed, ldist_j, ldist_prev)
+            return (jw, ldist_prev, tau_acc, kind, ev_dist, ev_line)
+
+        zf = jnp.zeros_like(t_b)
+        walk = jax.lax.fori_loop(
+            0, LWALK, walk_body,
+            (j0, zf, zf, jnp.zeros_like(pk.cell), zf + BIG, j0))
+        j_new, walk_ldist, _, walk_kind, walk_dist, walk_line = walk
+
+        # WALKING after LWALK lines: plain move to the last passed line
+        kexh = walk_kind == WK_WALKING
+        edist_det = jnp.where(kexh, jnp.maximum(walk_ldist, 1e-7),
+                              jnp.where(walk_kind == WK_LIMIT, BIG,
+                                        walk_dist))
+        edist = jnp.where(m_det, edist_det, edist)
     else:
         m_det = jnp.zeros_like(m_rpkt)
 
@@ -557,30 +744,19 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # rpkt.cc:330-447 + bound-bound rpkt_event_boundbound
         # rpkt.cc:449-489)
         ev_det = take_event & m_det
-        ev_cont = ev_det & cont_first
-        ev_at_line = ev_det & ~cont_first
+        ev_cont = ev_det & (walk_kind == WK_CONT)
+        bb_hit = ev_det & (walk_kind == WK_BB)
+        # walk exhausted its line budget: a plain move past the lines
+        # already accounted, no interaction
+        line_pass = ev_det & kexh
 
-        # Sobolev optical depth of the reached line (get_event,
-        # rpkt.cc:168-189), using level populations of this cell
-        n_l = tables["levelpops"][mgi, params.line_lower[j_c]]
-        n_u = tables["levelpops"][mgi, params.line_upper[j_c]]
-        tau_line = jnp.maximum(
-            params.line_taufac_lu[j_c] * n_l
-            - params.line_taufac_ul[j_c] * n_u, 0.0) * t_b
-        tau_after = tau_next - chi_cont * ldist
-        bb_hit = ev_at_line & (tau_after < tau_line)
-        line_pass = ev_at_line & ~bb_hit  # noqa: F841 (used below)
-
-        # bound-bound: resonance re-emission in the line (macro-atom
-        # internal redistribution lands in a later milestone; this is
-        # the radiative-deexcitation-in-the-same-line channel,
-        # do_macroatom_raddeexcitation macroatom.cc:222-296)
-        upd(bb_hit, nu_cmf=nu_trans, dirvec=dir_r,
-            nu_rf=nu_trans / dopp_r, e_rf=e_cmf_n / dopp_r,
-            last_cross=geo.BOUNDARY_NONE, em_time=t_n,
-            next_trans=j_c + 1)
-        # passing through the line without interacting
-        upd(line_pass, next_trans=j_c + 1)
+        # bound-bound absorption activates the macro-atom in the
+        # line's upper level (rpkt_event_boundbound, rpkt.cc:449-489)
+        wl_c = jnp.clip(walk_line, 0, nlines - 1)
+        upd(bb_hit, ptype=TYPE_MA, ma_level=params.line_upper[wl_c],
+            next_trans=wl_c + 1)
+        cnt["ma_activations"] += mcount(bb_hit)
+        upd(line_pass, next_trans=j_new)
 
         # continuum event: electron scatter vs free-free absorption
         is_escat = u[:, 7] * chi_cont < chi_th * dopp_here
@@ -589,14 +765,15 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(ev_escat, dirvec=dir_r, nu_rf=nu_cmf_n / dopp_r,
             e_rf=e_cmf_n / dopp_r, last_cross=geo.BOUNDARY_NONE,
             nscatterings=pk.nscatterings + 1, em_time=t_n,
-            next_trans=j_c)
+            next_trans=j_new)
         upd(ev_ff, ptype=TYPE_KPKT, next_trans=jnp.int32(-1))
         cnt["escounter"] += mcount(ev_escat)
         n_line_pass = mcount(line_pass)
 
         # remember the candidate line index for packets that moved
-        # without a line event (boundary/time branches)
-        upd(m_det & (take_boundary | take_time), next_trans=j_line)
+        # without a line event (boundary/time branches); lines passed
+        # during the walk are included
+        upd(m_det & (take_boundary | take_time), next_trans=j_new)
         # entering an empty or thick cell invalidates the line position
         # (closest_transition_empty resync, rpkt.cc:511-555)
         new_cell = jnp.clip(new["cell"], 0,
@@ -645,9 +822,9 @@ def packets_active(p: PacketBatch, t2) -> jax.Array:
 
 def run_timestep_chunk(pk: PacketBatch, est: dict, tables: dict,
                        params: TransportParams, t2, nts_is_first,
-                       base_key, *, grid_type: str, ncoord: int,
-                       relativistic: bool = False, detailed: bool = False,
-                       chunk_iters: int = 512):
+                       base_key, chunk_iters=512, *, grid_type: str,
+                       ncoord: int, relativistic: bool = False,
+                       detailed: bool = False):
     """Advance all packets by up to ``chunk_iters`` events towards the
     end of the timestep (sim time t2).
 
@@ -660,9 +837,12 @@ def run_timestep_chunk(pk: PacketBatch, est: dict, tables: dict,
     reference's outer multi-pass loop (update_packets.cc:249-320).
 
     Returns (packets, estimators, n_active). ``grid_type``
-    ("spherical" | "uniform") and ``ncoord`` are static.
+    ("spherical" | "uniform") and ``ncoord`` are static;
+    ``chunk_iters`` is traced so the driver can adapt it without
+    recompiling.
     """
     t2 = jnp.float32(t2)
+    chunk_iters = jnp.asarray(chunk_iters, jnp.int32)
 
     def cond(carry):
         p, est_c, it = carry
@@ -689,7 +869,7 @@ def run_timestep(pk: PacketBatch, tables: dict, params: TransportParams,
     device execution (used by the multichip dry run and tests)."""
     est0 = zero_estimators(tables["chi_grey"].shape[0] - 1)
     pk_out, est_out, _ = run_timestep_chunk(
-        pk, est0, tables, params, t2, nts_is_first, base_key,
+        pk, est0, tables, params, t2, nts_is_first, base_key, max_iters,
         grid_type=grid_type, ncoord=ncoord, relativistic=relativistic,
-        detailed=detailed, chunk_iters=max_iters)
+        detailed=detailed)
     return pk_out, est_out

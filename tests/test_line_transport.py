@@ -35,20 +35,36 @@ def make_params(line_nu=(), taufac=(), nlevels=2, **kw):
         line_lower=jnp.zeros(n, jnp.int32),
         line_upper=jnp.asarray(np.minimum(1, nlevels - 1)
                                * np.ones(n), jnp.int32),
+        ma_byup_perm=jnp.arange(n, dtype=jnp.int32),
+        ma_up_start=jnp.asarray([0] * nlevels + [n], jnp.int32),
+        ma_bylo_perm=jnp.arange(n, dtype=jnp.int32),
+        ma_lo_start=jnp.asarray([0] + [n] * nlevels, jnp.int32),
         planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
         kpkt_diffusion_dt=f32(0.0),
     )
 
 
 def make_tables(ncells=1, rmax=0.1, chi_thomson=0.0, kff_base=0.0,
-                levelpop=1.0, Te=8000.0, nlevels=2):
-    """Single-shell spherical grid tables (sim units)."""
+                levelpop=1.0, Te=8000.0, nlevels=2, nlines=1):
+    """Single-shell spherical grid tables (sim units).
+
+    The macro-atom tables make any activated level deactivate
+    radiatively through line 0 (pure resonance scattering)."""
     f32 = jnp.float32
     nm = ncells
     r_edges = np.linspace(0, rmax, ncells + 1)
     pops = np.zeros((nm + 1, nlevels), np.float32)
     pops[:nm, 0] = levelpop
+    proc = np.zeros((nm + 1, nlevels, 4), np.float32)
+    proc[:, :, :] = 1.0  # cumulative: raddeexc only
+    wrow = np.ones((nm + 1, max(nlines, 1)), np.float32).cumsum(axis=1)
     return {
+        "kp_cool_ff": jnp.zeros(nm + 1, jnp.float32),
+        "kp_w_collexc": jnp.zeros((nm + 1, max(nlines, 1)), jnp.float32),
+        "ma_proc_cum": jnp.asarray(proc),
+        "ma_w_raddeexc": jnp.asarray(wrow),
+        "ma_w_downsame": jnp.asarray(wrow),
+        "ma_w_upsame": jnp.asarray(wrow),
         "cell_mgi": jnp.arange(ncells, dtype=jnp.int32),
         "pos_min": jnp.asarray(r_edges[:-1, None], f32),
         "wid": jnp.asarray(np.diff(r_edges), f32),
@@ -84,7 +100,7 @@ def make_rpkts(n, r0=0.02, nu_cmf=6e14, t0=1.0, seed=1):
         escape_type=i32(0), escape_time=f32(-1.0), em_time=f32(t0),
         nscatterings=i32(0), interactions=i32(0),
         rng_count=i32(0), pkt_id=jnp.arange(n, dtype=jnp.int32),
-        nu_decay=f32(0.0), next_trans=i32(-1),
+        nu_decay=f32(0.0), next_trans=i32(-1), ma_level=i32(0),
     )
 
 
