@@ -11,10 +11,12 @@ execution over TPU device meshes.
 from .config import SimConfig, read_input_txt
 from .driver import Simulation
 from .model import (Model, make_toy_1d_model, make_toy_3d_model,
-                    read_1d_model, read_abundances)
+                    model_2d_to_3d, read_1d_model, read_2d_model,
+                    read_3d_model, read_abundances)
 
 __version__ = "0.1.0"
 
 __all__ = ["SimConfig", "read_input_txt", "Simulation", "Model",
-           "make_toy_1d_model", "make_toy_3d_model", "read_1d_model",
+           "make_toy_1d_model", "make_toy_3d_model", "model_2d_to_3d",
+           "read_1d_model", "read_2d_model", "read_3d_model",
            "read_abundances", "__version__"]

@@ -342,7 +342,7 @@ def make_synthetic_atomic_data(seed: int = 0,
             for up in range(1, nlev):
                 for lo in range(up):
                     if rng.random() < 0.6:
-                        A = 10 ** rng.uniform(3.5, 8.5)
+                        A = 10 ** rng.uniform(3.0, 7.5)
                         forb = rng.random() < 0.2
                         trans.append((lo, up, A, -1.0, forb))
             b.add_ion(ionstage, ionpot_ev * EV, list(energies), list(gs),

@@ -62,6 +62,14 @@ class SimConfig:
 
     # non-thermal deposition handling
     instant_particle_deposition: bool = True
+    # Spencer-Fano non-thermal electron solver (NT_ON; requires
+    # opacity_case 4). When off, all deposition thermalises.
+    nonthermal_on: bool = False
+    # polarised electron scattering (Stokes Q/U tracking; Bulla+2015)
+    polarization_on: bool = False
+    sf_points: int = 384  # Spencer-Fano energy grid size (SFPTS)
+    sf_emin_ev: float = 1.0
+    sf_emax_ev: float = 3000.0
 
     # pellets
     uniform_pellet_energies: bool = True
@@ -78,6 +86,9 @@ class SimConfig:
     # events per device invocation; bounded so single executions stay
     # short (execution-deadline/preemption friendly)
     transport_chunk_iters: int = 512
+    # smallest batch the ragged-tail compaction will shrink to (keep
+    # >= the VPU lane tile on TPU; tests use smaller values)
+    compact_min_size: int = 512
 
     # --- output binning (exspec analogue)
     nnubins_gamma: int = 200

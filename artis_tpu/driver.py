@@ -34,11 +34,15 @@ from .grid import (Grid, assign_initial_temperatures, build_grid,
                    grid_device_tables, make_units)
 from .model import Model
 from .packets import PacketBatch, init_pellets, to_numpy, from_numpy
-from .plasma.grey_lte import (normalise_J, update_grid_common,
-                              update_grid_grey,
+from .plasma.grey_lte import (fit_fullspec_dilute, normalise_J,
+                              update_grid_common, update_grid_grey,
                               update_temperatures_from_J)
+from .plasma import lte as lte_mod
+from .plasma import thermal as thermal_mod
 from .plasma.lte_case4 import compute_case4_state, update_thick_flags
 from .plasma import macroatom as ma_mod
+from .plasma import photoion as photoion_mod
+from .phixs import PhixsData, make_hydrogenic_phixs
 from .rng import make_base_key
 from .timesteps import TimestepGrid, build_timesteps
 from .transport.kernel import (TransportParams, make_planck_table,
@@ -51,11 +55,20 @@ class Simulation:
     devices via parallel.py)."""
 
     def __init__(self, model: Model, cfg: SimConfig,
-                 out_dir: Optional[str] = None, atomic_data=None):
+                 out_dir: Optional[str] = None, atomic_data=None,
+                 phixs_data: Optional[PhixsData] = None):
         self.cfg = cfg
         self.model = model
         self.atomic_data = atomic_data
-        self.detailed = cfg.opacity_case >= 4
+        # opacity_case 4 = detailed (lines/bf/MA); 5 = grey with the
+        # Ye-dependent Tanaka kappa table (kilonova mode, grid.cc
+        # calculate_kappagrey case 5) — grey transport, not detailed
+        self.detailed = cfg.opacity_case == 4
+        if self.detailed and phixs_data is None and atomic_data is not None:
+            # no photoionisation tables supplied: fall back to
+            # hydrogenic cross sections so bf physics stays active
+            phixs_data = make_hydrogenic_phixs(atomic_data)
+        self.phixs = phixs_data
         if self.detailed and atomic_data is None:
             raise ValueError(
                 "opacity_case 4 requires an AtomicData instance "
@@ -84,7 +97,8 @@ class Simulation:
                     grid_type=self._grid_static[0],
                     ncoord=self._grid_static[1],
                     relativistic=cfg.use_relativistic_doppler,
-                    detailed=self.detailed))
+                    detailed=self.detailed,
+                    polarization=cfg.polarization_on))
         # events per device call; adapted at runtime to keep single
         # executions in a healthy wall-time band (traced, so changing
         # it does not recompile). The initial value scales inversely
@@ -96,6 +110,7 @@ class Simulation:
         self.nts_done = cfg.itstep  # next timestep to run
         self.dep_log: list[dict] = []
         self.est_J_prev: Optional[np.ndarray] = None
+        self.est_prev: Optional[dict] = None
         self.deltat_prev: float = 0.0
 
     # -- setup --------------------------------------------------------
@@ -133,11 +148,28 @@ class Simulation:
             taufac_ul = jnp.asarray(base, f32)
             line_lower = jnp.asarray(ad.line_lower, jnp.int32)
             line_upper = jnp.asarray(ad.line_upper, jnp.int32)
-            self._ma_static = ma_mod.build_static(ad)
+            self._ma_static = ma_mod.build_static(ad, self.phixs)
             ma_byup = jnp.asarray(self._ma_static.byup_perm, jnp.int32)
             ma_ups = jnp.asarray(self._ma_static.up_start, jnp.int32)
             ma_bylo = jnp.asarray(self._ma_static.bylo_perm, jnp.int32)
             ma_los = jnp.asarray(self._ma_static.lo_start, jnp.int32)
+            ph = self.phixs
+            ma_bt = jnp.asarray(self._ma_static.bytarget_perm, jnp.int32)
+            ma_ts = jnp.asarray(self._ma_static.target_start, jnp.int32)
+            lvl_cont = jnp.asarray(self._ma_static.level_cont, jnp.int32)
+            cont_edge = jnp.asarray(ph.cont_nu_edge, f32)
+            cont_lvl = jnp.asarray(ph.cont_level, jnp.int32)
+            cont_uplvl = jnp.asarray(ph.cont_upperlevel, jnp.int32)
+            cont_sigma = jnp.asarray(ph.cont_sigma, f32)
+            cont_nuinc = f32(ph.nuincrement)
+            # NT ionisation target: ground level of the next ion up
+            ntt = np.full(ad.nions_total, -1, np.int32)
+            for e_i in range(ad.nelements):
+                s_i, e_e = (ad.elem_ion_start[e_i],
+                            ad.elem_ion_start[e_i + 1])
+                for i_i in range(s_i, e_e - 1):
+                    ntt[i_i] = ad.ion_level_start[i_i + 1]
+            nt_target = jnp.asarray(ntt, jnp.int32)
         else:
             line_nu = jnp.zeros(1, f32)
             taufac_lu = jnp.zeros(1, f32)
@@ -149,6 +181,15 @@ class Simulation:
             ma_ups = jnp.zeros(2, jnp.int32)
             ma_bylo = jnp.zeros(1, jnp.int32)
             ma_los = jnp.zeros(2, jnp.int32)
+            ma_bt = jnp.zeros(1, jnp.int32)
+            ma_ts = jnp.zeros(2, jnp.int32)
+            lvl_cont = jnp.full(1, -1, jnp.int32)
+            cont_edge = jnp.zeros(1, f32)
+            cont_lvl = jnp.zeros(1, jnp.int32)
+            cont_uplvl = jnp.zeros(1, jnp.int32)
+            cont_sigma = jnp.zeros((1, 2), f32)
+            cont_nuinc = f32(0.1)
+            nt_target = jnp.full(1, -1, jnp.int32)
         return TransportParams(
             x_unit=f32(self.units.x_unit),
             nu_min_r=f32(cfg.nu_min_r), nu_max_r=f32(cfg.nu_max_r),
@@ -159,6 +200,16 @@ class Simulation:
             line_upper=line_upper,
             ma_byup_perm=ma_byup, ma_up_start=ma_ups,
             ma_bylo_perm=ma_bylo, ma_lo_start=ma_los,
+            ma_bytarget_perm=ma_bt, ma_target_start=ma_ts,
+            nt_target_level=nt_target,
+            level_cont=lvl_cont, cont_nu_edge=cont_edge,
+            cont_level=cont_lvl, cont_upperlevel=cont_uplvl,
+            cont_sigma=cont_sigma, cont_nuinc=cont_nuinc,
+            bf_lognu_min=f32(np.log(cfg.nu_min_r)),
+            bf_dlognu=f32((np.log(cfg.nu_max_r)
+                           - np.log(cfg.nu_min_r)) / 1024),
+            bf_dlognu_sel=f32((np.log(cfg.nu_max_r)
+                               - np.log(cfg.nu_min_r)) / 128),
             planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
             kpkt_diffusion_dt=f32(0.0),
         )
@@ -166,15 +217,19 @@ class Simulation:
     def _tables(self, tmid: Optional[float] = None) -> dict:
         if self.detailed:
             g = self.grid
-            levelpops, kff_base = compute_case4_state(
+            levelpops, kff_base, pops = compute_case4_state(
                 g, self.atomic_data, self.units)
             tables = grid_device_tables(g, self.cfg, self.units,
                                         levelpops=levelpops,
                                         kff_base=kff_base)
+            t_mid_s = tmid if tmid is not None else float(self.ts.mid[0])
+            ph = self.phixs
+            pirates = photoion_mod.compute_rates(
+                self.atomic_data, ph, g.Te, g.TR, g.W, g.nne)
             mats = ma_mod.build_tables(
                 self.atomic_data, self._ma_static, levelpops,
-                g.Te, g.TR, g.W, g.nne,
-                tmid if tmid is not None else float(self.ts.mid[0]))
+                g.Te, g.TR, g.W, g.nne, t_mid_s, ph=ph,
+                pirates=pirates)
             pad = lambda a: np.concatenate(
                 [a, np.zeros((1,) + a.shape[1:], a.dtype)])
             tables["ma_proc_cum"] = jnp.asarray(pad(mats["proc_cum"]))
@@ -183,21 +238,101 @@ class Simulation:
             tables["ma_w_downsame"] = jnp.asarray(
                 pad(mats["w_downsame"]))
             tables["ma_w_upsame"] = jnp.asarray(pad(mats["w_upsame"]))
+            tables["ma_w_radrecomb"] = jnp.asarray(
+                pad(mats["w_radrecomb"]))
+            tables["ma_w_downlower"] = jnp.asarray(
+                pad(mats["w_downlower"]))
             tables["kp_w_collexc"] = jnp.asarray(
                 pad(mats["w_kcollexc"]))
+
+            # k-packet fb / collisional-ionisation cooling rows
+            # (calculate_cooling_rates, kpkt.cc:120-155)
+            ad = self.atomic_data
+            nl64 = levelpops.astype(np.float64)
+            n_l_cont = nl64[:, ph.cont_level]
+            # upper-ion total populations per continuum
+            upion_pop = np.zeros((g.nmodel, ph.ncont))
+            for ci in range(ph.ncont):
+                i = ph.cont_upperion[ci]
+                s_l, e_l = (ad.ion_level_start[i],
+                            ad.ion_level_start[i + 1])
+                upion_pop[:, ci] = nl64[:, s_l:e_l].sum(axis=1)
+            w_fb = (pirates.bfcooling * upion_pop
+                    * g.nne[:, None])
+            eps_tr = (ad.level_energy[ph.cont_upperlevel]
+                      - ad.level_energy[ph.cont_level])[None, :]
+            w_ci = n_l_cont * pirates.c_ion * eps_tr
+            tables["kp_w_fb"] = jnp.asarray(
+                pad(np.cumsum(w_fb, axis=1).astype(np.float32)))
+            tables["kp_w_collion"] = jnp.asarray(
+                pad(np.cumsum(w_ci, axis=1).astype(np.float32)))
+
+            # bound-free opacity tables
+            bft = photoion_mod.build_bf_opacity_tables(
+                ad, ph, levelpops, g.Te, self.units.x_unit,
+                self.cfg.nu_min_r, self.cfg.nu_max_r)
+            tables["chi_bf"] = jnp.asarray(pad(bft["chi_bf"]))
+            tables["bf_sel_cum"] = jnp.asarray(pad(bft["bf_sel_cum"]))
+
+            # Spencer-Fano non-thermal deposition channels
+            if self.cfg.nonthermal_on:
+                if not hasattr(self, "_sf_solver"):
+                    from .plasma.nonthermal import SpencerFanoSolver
+                    self._sf_solver = SpencerFanoSolver(
+                        ad, sfpts=self.cfg.sf_points,
+                        emin_ev=self.cfg.sf_emin_ev,
+                        emax_ev=self.cfg.sf_emax_ev)
+                sol = self._sf_solver.solve(
+                    g.nne, levelpops.astype(np.float64),
+                    pops.ion_numberdens)
+                self.sf_solution = sol
+                # energy-weighted per-ion ionisation selection row
+                ionpots_ev = self.atomic_data.ion_ionpot / 1.6021772e-12
+                w_ion = (sol.ion_rate_per_dep * pops.ion_numberdens
+                         * ionpots_ev[None, :])
+                tables["nt_frac_ion"] = jnp.asarray(
+                    pad(sol.frac_ionization.astype(np.float32)))
+                tables["nt_ion_cum"] = jnp.asarray(
+                    pad(np.cumsum(w_ion, axis=1).astype(np.float32)))
             return tables
         return grid_device_tables(self.grid, self.cfg, self.units)
 
     # -- main loop ----------------------------------------------------
     def run(self, until: Optional[int] = None, checkpoint: bool = True,
-            verbose: bool = True):
+            verbose: bool = True,
+            walltime_limit_s: Optional[float] = None) -> bool:
+        """Advance to timestep ``until`` (default: cfg.ftstep).
+
+        ``walltime_limit_s`` enables the reference's walltime-limited
+        job-step mode (sn3d.cc main loop's do_this_full_loop /
+        walltimelimitseconds handling): after each timestep, if less
+        time remains than ~1.5x the slowest timestep so far, save a
+        checkpoint and return False so an outer job script can
+        resubmit; resume with ``Simulation(...,)`` +
+        ``load_checkpoint``. Returns True when the run reached
+        ``until``."""
         last = min(until if until is not None else self.cfg.ftstep,
                    self.cfg.ftstep)
+        job_t0 = _time.time()
+        slowest = 0.0
         while self.nts_done < last:
+            ts_t0 = _time.time()
             self.advance_one_timestep(checkpoint=checkpoint,
                                       verbose=verbose)
+            slowest = max(slowest, _time.time() - ts_t0)
+            if walltime_limit_s is not None and self.nts_done < last:
+                remaining = walltime_limit_s - (_time.time() - job_t0)
+                if remaining < 1.5 * slowest:
+                    if self.out_dir:
+                        self.save_checkpoint(self.nts_done)
+                    if verbose:
+                        print(f"walltime: stopping after ts "
+                              f"{self.nts_done - 1} ({remaining:.0f}s "
+                              f"left < 1.5x{slowest:.0f}s)")
+                    return False
         if self.out_dir:
             self.write_outputs()
+        return True
 
     def advance_one_timestep(self, checkpoint: bool = True,
                              verbose: bool = True):
@@ -214,7 +349,21 @@ class Simulation:
         if self.est_J_prev is not None and self.deltat_prev > 0:
             J_cgs = normalise_J(self.est_J_prev, self.grid, self.units,
                                 tmid, self.deltat_prev)
-            update_temperatures_from_J(self.grid, cfg, J_cgs)
+            # nebular-phase branch: dilute-blackbody fit + thermal
+            # balance T_e after the forced-LTE timesteps
+            # (update_grid_cell's non-initial_iteration branch,
+            # update_grid.cc:1126-1158)
+            if (self.detailed and nts >= cfg.num_lte_timesteps
+                    and self.est_prev is not None):
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    nubar = (self.est_prev["nuJ"][:self.grid.nmodel]
+                             / np.maximum(
+                                 self.est_prev["J"][:self.grid.nmodel],
+                                 1e-30))
+                fit_fullspec_dilute(self.grid, cfg, J_cgs, nubar)
+                self._solve_thermal_balance(tmid)
+            else:
+                update_temperatures_from_J(self.grid, cfg, J_cgs)
         if self.detailed:
             update_thick_flags(self.grid, cfg, nts, tmid)
 
@@ -277,6 +426,8 @@ class Simulation:
         est_np = {k: float(v) if np.asarray(v).ndim == 0 else np.asarray(v)
                   for k, v in est.items()}
         self.est_J_prev = est_np["J"]
+        self.est_prev = {k: est_np[k] for k in
+                         ("J", "nuJ", "ffheat", "colheat", "dep_cell")}
         self.deltat_prev = float(self.ts.width[nts])
         self._record_deposition(nts, est_np)
 
@@ -291,17 +442,35 @@ class Simulation:
 
         self.nts_done = nts + 1
 
+    def _solve_thermal_balance(self, tmid: float):
+        """T_e from heating = cooling using the previous timestep's
+        estimators (solve_Te_nltepops' T_e part,
+        update_grid.cc:763-888)."""
+        g = self.grid
+        deltaV = g.vol_init * (tmid / g.tmin) ** 3
+        norm = self.units.e0 / (deltaV * self.deltat_prev)
+        ffheat = self.est_prev["ffheat"][:g.nmodel] * norm
+        colheat = self.est_prev["colheat"][:g.nmodel] * norm
+        nd = lte_mod.elem_numberdens_from_massfracs(
+            self.atomic_data, g.rho, g.elem_abund)
+        Te = thermal_mod.solve_Te(
+            self.atomic_data, self.phixs, nd, g.TR, g.W, ffheat,
+            colheat, tmid, g.vol_init, g.tmin, self.cfg.mintemp,
+            self.cfg.maxtemp)
+        g.Te = np.where(g.rho_init > 0, Te, 0.0)
+
     def _maybe_compact(self, pk: PacketBatch, n_act: int, t2_f32,
                        stack: list):
         """Gather the active packets into a smaller batch when most
-        lanes are done. Batch sizes are restricted to N/8^k (k >= 0,
-        min 4096) to bound the number of distinct compilations."""
+        lanes are done. Batch sizes are restricted to N/2^k (k >= 0)
+        to bound the number of distinct compilations (each shape
+        compiles once; the persistent cache keeps it across runs)."""
         size = pk.n
-        min_size = 512
+        min_size = self.cfg.compact_min_size
         new_size = size
-        while (new_size // 8 >= max(min_size, 2 * n_act)
-               and new_size // 8 >= 1):
-            new_size //= 8
+        while (new_size // 2 >= max(min_size, int(1.3 * n_act) + 1)
+               and new_size // 2 >= 1):
+            new_size //= 2
         if new_size >= size:
             return pk, stack
         active = np.asarray(
@@ -338,12 +507,31 @@ class Simulation:
             "cmf_lum": float(est["cmf_lum"]) * e0,
             "pellet_decays": int(est["pellet_decays"]),
             "escounter": int(est["escounter"]),
+            "ma_activations": int(est["ma_activations"]),
+            "ma_deact_rad": int(est["ma_deact_rad"]),
+            "ma_deact_col": int(est["ma_deact_col"]),
+            "ma_jumps": int(est["ma_jumps"]),
             "cellcrossings": int(est["cellcrossings"]),
             "interactions": int(est["interactions"]),
             "iterations": int(est["iterations"]),
         })
 
     # -- checkpoint / resume ------------------------------------------
+    def input_hash(self) -> str:
+        """MD5 over the run inputs (config + model arrays), the
+        analogue of the reference's input-file MD5 consistency check on
+        job-step resume (md5.cc + update_md5_file usage in sn3d.cc):
+        resuming a checkpoint with different inputs is an error."""
+        import hashlib
+        h = hashlib.md5()
+        h.update(repr(self.cfg).encode())
+        m = self.model
+        for a in (m.rho, m.ffegrp, m.initradioabund):
+            h.update(np.ascontiguousarray(a).tobytes())
+        if m.elem_abund is not None:
+            h.update(np.ascontiguousarray(m.elem_abund).tobytes())
+        return h.hexdigest()
+
     def save_checkpoint(self, nts: int):
         """Write packets + grid state, the resume point for timestep
         ``nts`` (gridsave/packets .tmp analogue, sn3d.cc:387-512)."""
@@ -352,6 +540,7 @@ class Simulation:
         g = self.grid
         np.savez_compressed(
             path, nts=nts, etot=self.etot,
+            input_md5=np.bytes_(self.input_hash().encode()),
             grid_Te=g.Te, grid_TR=g.TR, grid_TJ=g.TJ, grid_W=g.W,
             grid_thick=g.thick, grid_kappagrey=g.kappagrey,
             grid_rho=g.rho, grid_elem_abund=g.elem_abund,
@@ -369,6 +558,12 @@ class Simulation:
 
     def load_checkpoint(self, path: str):
         data = np.load(path)
+        if "input_md5" in data.files:
+            saved = bytes(data["input_md5"]).decode()
+            if saved != self.input_hash():
+                raise ValueError(
+                    f"checkpoint {path} was written for different "
+                    f"inputs (md5 {saved} != {self.input_hash()})")
         nts = int(data["nts"])
         pk = {k[len("pkt_"):]: data[k] for k in data.files
               if k.startswith("pkt_")}
@@ -402,6 +597,8 @@ class Simulation:
             "e_rf": arr["e_rf"].astype(np.float64) * u.e0,
             "e_cmf": arr["e_cmf"].astype(np.float64) * u.e0,
             "escape_time": arr["escape_time"].astype(np.float64) * u.tmin,
+            "stokes_q": arr["stokes_q"].astype(np.float64),
+            "stokes_u": arr["stokes_u"].astype(np.float64),
         }
 
     def build_spectra(self, escape_type: int = 11):
@@ -430,3 +627,12 @@ class Simulation:
             os.path.join(out, "gamma_spec.out"), spec_g)
         with open(os.path.join(out, "deposition.json"), "w") as f:
             json.dump(self.dep_log, f, indent=1)
+        if self.cfg.polarization_on:
+            esc = spectra_mod.select_escaped(self.escaped_arrays_cgs(),
+                                             11)
+            I, Q, U = spectra_mod.build_specpol(
+                esc, self.ts, self.cfg.nu_min_r, self.cfg.nu_max_r,
+                self.cfg.nnubins_r)
+            spectra_mod.write_specpol(
+                os.path.join(out, "specpol.out"), self.ts, I, Q, U,
+                self.cfg.nu_min_r, self.cfg.nu_max_r)

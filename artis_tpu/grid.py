@@ -265,8 +265,16 @@ def grid_device_tables(g: Grid, cfg: SimConfig, units: Units,
     from .constants import SIGMA_T
     nnetot_sig = SIGMA_T * g.nnetot * x_unit
 
+    # empty (rho == 0) cells map to the sentinel row nmodel on device:
+    # the kernel free-streams there (is_empty) and estimator
+    # scatter-adds land in the dummy slot, as in the reference where
+    # empty propagation cells have no associated model cell
+    # (grid.cc get_propcell_modelgridindex / npts_model sentinel)
+    cell_mgi_dev = np.where(g.rho_init[g.cell_mgi] > 0,
+                            g.cell_mgi, g.nmodel).astype(np.int32)
+
     tables = {
-        "cell_mgi": jnp.asarray(g.cell_mgi, dtype=jnp.int32),
+        "cell_mgi": jnp.asarray(cell_mgi_dev, dtype=jnp.int32),
         "pos_min": f(g.pos_min / x_unit),
         "wid": f(g.wid / x_unit),
         "chi_grey": jnp.asarray(padded(chi_grey)),
@@ -296,6 +304,12 @@ def grid_device_tables(g: Grid, cfg: SimConfig, units: Units,
         "kp_cool_ff": jnp.asarray(
             padded(getattr(g, "cool_ff", np.zeros(g.nmodel)))),
         "kp_w_collexc": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
+        "kp_w_fb": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
+        "kp_w_collion": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
+        "chi_bf": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
+        "bf_sel_cum": jnp.zeros((g.nmodel + 1, 1, 1), jnp.float32),
+        "nt_frac_ion": jnp.zeros(g.nmodel + 1, jnp.float32),
+        "nt_ion_cum": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
         "ma_w_raddeexc": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
         "ma_w_downsame": jnp.zeros((g.nmodel + 1, 1), jnp.float32),
         "ma_w_upsame": jnp.zeros((g.nmodel + 1, 1), jnp.float32),

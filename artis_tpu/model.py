@@ -79,6 +79,7 @@ class Model:
     elem_abund: Optional[np.ndarray] = None  # [ncells, MAX_Z_ABUND]
     vout: Optional[np.ndarray] = None  # 1D: outer shell velocities [cm/s]
     ncoord3d: Optional[tuple[int, int, int]] = None  # 3D model grid shape
+    ncoord2d: Optional[tuple[int, int]] = None  # 2D (nr, nz) model shape
     init_ye: Optional[np.ndarray] = None  # [ncells] electron fraction
     init_energyq: Optional[np.ndarray] = None  # [ncells] initial energy/mass
 
@@ -165,9 +166,220 @@ def read_1d_model(path: str, tmin: float,
                  nuclide_table=nt, vout=vout)
 
 
+def _find_headerline(path: str, after_noncomment: int) -> Optional[str]:
+    """Return the comment header line that follows the first
+    ``after_noncomment`` non-comment lines, if present."""
+    seen = 0
+    with open(path) as f:
+        for ln in f:
+            s = ln.strip()
+            if not s:
+                continue
+            if s.startswith("#"):
+                if seen == after_noncomment:
+                    return s
+                continue
+            seen += 1
+            if seen > after_noncomment:
+                return None
+    return None
+
+
+def _apply_abund_row(vals: list[float], mgi: int, abund: np.ndarray,
+                     ffegrp: np.ndarray, init_ye: np.ndarray,
+                     init_q: np.ndarray, nt: NuclideTable,
+                     zlist, alist, colnames, t_model: float, tmin: float):
+    """Apply one model.txt abundance row: the 5/7 standard columns plus
+    any custom header columns (read_2d3d_modelradioabundanceline,
+    grid.cc:1158-1225)."""
+    ffegrp[mgi] = vals[0]
+    std = [(28, 56), (27, 56), (26, 52), (24, 48), (28, 57), (27, 57)]
+    for (z, a), v in zip(std, vals[1:7]):
+        if nt.exists(z, a):
+            abund[mgi, nt.index(z, a)] = v
+    custom = vals[7:]
+    for i, name in enumerate(colnames):
+        if i >= len(custom):
+            break
+        v = custom[i]
+        z, a = zlist[i], alist[i]
+        if z > 0:
+            if nt.exists(z, a):
+                abund[mgi, nt.index(z, a)] = v
+        elif name == "cellYe":
+            init_ye[mgi] = v
+        elif name == "q":
+            # stored per unit mass at t_model; adiabatic expansion to
+            # tmin (grid.cc:1206-1208)
+            init_q[mgi] = v * t_model / tmin
+
+
+def read_3d_model(path: str, tmin: float,
+                  data_path: Optional[str] = None) -> Model:
+    """Read a reference-format 3D Cartesian model.txt
+    (read_3d_model, grid.cc:1459-1601).
+
+    Layout: npts / t_model_days / vmax_cms, then per cell TWO lines:
+    ``index x y z rho`` (positions at t_model, xyz or zyx order) and
+    the abundance row. Cell index increments x fastest."""
+    lines = list(_noncomment_lines(path))
+    npts = int(lines[0].split()[0])
+    nc = round(npts ** (1.0 / 3.0))
+    assert nc ** 3 == npts, f"3D model npts {npts} is not a cube"
+    t_model = float(lines[1].split()[0]) * DAY
+    vmax = float(lines[2].split()[0])
+
+    header = _find_headerline(path, after_noncomment=3)
+    zlist, alist, colnames = ([], [], [])
+    if header:
+        zlist, alist, colnames = _parse_headerline(header)
+    nt = NuclideTable.create(zlist, alist, data_path=data_path)
+
+    rows = lines[3:]
+    assert len(rows) >= 2 * npts, "3D model.txt: missing cell rows"
+    rho_tmin = np.zeros(npts)
+    ffegrp = np.zeros(npts)
+    abund = np.zeros((npts, len(nt)))
+    init_ye = np.full(npts, -1.0)
+    init_q = np.zeros(npts)
+
+    xmax = vmax * t_model
+    cw = 2 * xmax / nc
+    posmatch_xyz = True
+    posmatch_zyx = True
+    for mgi in range(npts):
+        a_vals = rows[2 * mgi].split()
+        assert int(a_vals[0]) == mgi + 1, "3D model.txt: bad cell index"
+        pos_in = [float(v) for v in a_vals[1:4]]
+        rho_model = float(a_vals[4])
+        # expected position with x fastest (grid.cc:1545-1556); accept
+        # either xyz or zyx column order like the reference
+        exp = [-xmax + cw * ((mgi // nc ** ax) % nc) for ax in range(3)]
+        for ax in range(3):
+            if abs(exp[ax] - pos_in[ax]) > 0.5 * cw:
+                posmatch_xyz = False
+            if abs(exp[ax] - pos_in[2 - ax]) > 0.5 * cw:
+                posmatch_zyx = False
+        assert rho_model >= 0
+        rho_tmin[mgi] = rho_model * (t_model / tmin) ** 3
+        b_vals = [float(v) for v in rows[2 * mgi + 1].split()]
+        if rho_model > 0:
+            _apply_abund_row(b_vals, mgi, abund, ffegrp, init_ye, init_q,
+                             nt, zlist, alist, colnames, t_model, tmin)
+    assert posmatch_xyz or posmatch_zyx, \
+        "3D model.txt cell positions inconsistent with the index order"
+
+    return Model(ndim=3, t_model=t_model, vmax=vmax, rho=rho_tmin,
+                 ffegrp=ffegrp, initradioabund=abund, nuclide_table=nt,
+                 ncoord3d=(nc, nc, nc),
+                 init_ye=init_ye if np.any(init_ye >= 0) else None,
+                 init_energyq=init_q if np.any(init_q != 0) else None)
+
+
+def read_2d_model(path: str, tmin: float,
+                  data_path: Optional[str] = None) -> Model:
+    """Read a reference-format 2D axisymmetric (r_cyl, z) model.txt
+    (read_2d_model, grid.cc:1372-1457).
+
+    Layout: ``nr nz`` / t_model_days / vmax_cms, then per cell TWO
+    lines: ``index r_mid z_mid rho`` and the abundance row; cell index
+    increments r fastest. Use :func:`model_2d_to_3d` to map onto the
+    Cartesian propagation grid."""
+    lines = list(_noncomment_lines(path))
+    nr, nz = (int(v) for v in lines[0].split()[:2])
+    npts = nr * nz
+    t_model = float(lines[1].split()[0]) * DAY
+    vmax = float(lines[2].split()[0])
+
+    header = _find_headerline(path, after_noncomment=3)
+    zlist, alist, colnames = ([], [], [])
+    if header:
+        zlist, alist, colnames = _parse_headerline(header)
+    nt = NuclideTable.create(zlist, alist, data_path=data_path)
+
+    rows = lines[3:]
+    assert len(rows) >= 2 * npts, "2D model.txt: missing cell rows"
+    rho_tmin = np.zeros(npts)
+    ffegrp = np.zeros(npts)
+    abund = np.zeros((npts, len(nt)))
+    init_ye = np.full(npts, -1.0)
+    init_q = np.zeros(npts)
+    for mgi in range(npts):
+        a_vals = rows[2 * mgi].split()
+        assert int(a_vals[0]) == mgi + 1, "2D model.txt: bad cell index"
+        rho_model = float(a_vals[3])
+        rho_tmin[mgi] = rho_model * (t_model / tmin) ** 3
+        b_vals = [float(v) for v in rows[2 * mgi + 1].split()]
+        if rho_model > 0:
+            _apply_abund_row(b_vals, mgi, abund, ffegrp, init_ye, init_q,
+                             nt, zlist, alist, colnames, t_model, tmin)
+
+    return Model(ndim=2, t_model=t_model, vmax=vmax, rho=rho_tmin,
+                 ffegrp=ffegrp, initradioabund=abund, nuclide_table=nt,
+                 ncoord2d=(nr, nz),
+                 init_ye=init_ye if np.any(init_ye >= 0) else None,
+                 init_energyq=init_q if np.any(init_q != 0) else None)
+
+
+def model_2d_to_3d(m: Model, ncoord: int = 50) -> Model:
+    """Map a 2D axisymmetric model onto a 3D Cartesian cube by
+    nearest-cell sampling in (r_cyl, z).
+
+    The reference propagates 2D models on a cylindrical grid
+    (grid.cc GRID_CYLINDRICAL2D); here the propagation grid is the
+    TPU-friendly uniform cube, so the axisymmetric state is rotated
+    into 3D. Mass is conserved per sampled cell by construction of the
+    homologous density field."""
+    assert m.ndim == 2 and m.ncoord2d is not None
+    nr, nz = m.ncoord2d
+    axis = ((np.arange(ncoord) + 0.5) / ncoord * 2 - 1) * m.vmax
+    X, Y, Z = np.meshgrid(axis, axis, axis, indexing="ij")
+    # cell ordering: x fastest (uniform_grid_setup, grid.cc:2083-2101)
+    Xf = X.transpose(2, 1, 0).ravel()
+    Yf = Y.transpose(2, 1, 0).ravel()
+    Zf = Z.transpose(2, 1, 0).ravel()
+    r_cyl = np.sqrt(Xf ** 2 + Yf ** 2)
+    ir = np.clip((r_cyl / m.vmax * nr).astype(int), 0, nr - 1)
+    iz = np.clip(((Zf + m.vmax) / (2 * m.vmax) * nz).astype(int),
+                 0, nz - 1)
+    src = iz * nr + ir
+    outside = (r_cyl > m.vmax) | (np.abs(Zf) > m.vmax)
+    rho = np.where(outside, 0.0, m.rho[src])
+    n3 = ncoord ** 3
+    abund = np.where(outside[:, None], 0.0, m.initradioabund[src])
+    ffegrp = np.where(outside, 0.0, m.ffegrp[src])
+    ye = (np.where(outside, -1.0, m.init_ye[src])
+          if m.init_ye is not None else None)
+    q = (np.where(outside, 0.0, m.init_energyq[src])
+         if m.init_energyq is not None else None)
+    elem = (np.where(outside[:, None], 0.0, m.elem_abund[src])
+            if m.elem_abund is not None else None)
+    assert len(rho) == n3
+    return Model(ndim=3, t_model=m.t_model, vmax=m.vmax, rho=rho,
+                 ffegrp=ffegrp, initradioabund=abund,
+                 nuclide_table=m.nuclide_table, elem_abund=elem,
+                 ncoord3d=(ncoord, ncoord, ncoord), init_ye=ye,
+                 init_energyq=q)
+
+
 def read_abundances(path: str, ncells: int) -> np.ndarray:
     """Read abundances.txt: per-cell elemental mass fractions Z=1..30
-    (abundances_read, grid.cc:1007-1079). Returns [ncells, 30]."""
+    (abundances_read, grid.cc:1007-1079). Returns [ncells, 30].
+
+    Uses the native bulk parser (native/fastparse.c) when available —
+    3D models have up to ~1e6 rows of 31 columns."""
+    from .native import load_numbers
+    nums = load_numbers(path)
+    ncols = MAX_Z_ABUND + 1
+    if len(nums) % ncols == 0 and len(nums) // ncols >= ncells:
+        table = nums.reshape(-1, ncols)
+        out = np.zeros((ncells, MAX_Z_ABUND))
+        idx = table[:, 0].astype(int) - 1
+        sel = (idx >= 0) & (idx < ncells)
+        out[idx[sel]] = table[sel, 1:]
+        norm = out.sum(axis=1, keepdims=True)
+        return np.where(norm > 0, out / np.maximum(norm, 1e-300), out)
+    # fallback: line-based parse for ragged files
     out = np.zeros((ncells, MAX_Z_ABUND))
     for i, line in enumerate(_noncomment_lines(path)):
         vals = line.split()

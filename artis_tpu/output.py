@@ -1,0 +1,95 @@
+"""Scientific output files in the reference's formats.
+
+Writers for the per-timestep observables the reference emits
+(reference: update_grid.cc:42-658 estimators file, sn3d.cc:86-188
+deposition file, input.cc:2383 timesteps file), so downstream tooling
+(e.g. artistools-style parsers) can consume this framework's runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .constants import DAY, LSUN
+from .grid import Grid
+from .timesteps import TimestepGrid
+
+
+def write_timesteps_file(path: str, ts: TimestepGrid):
+    """timesteps.out (write_timestep_file, input.cc:2383-2400)."""
+    with open(path, "w") as f:
+        f.write("#timestep tstart_days tmid_days twidth_days\n")
+        for n in range(ts.n):
+            f.write(f"{n} {ts.start[n] / DAY:.6f} {ts.mid[n] / DAY:.6f} "
+                    f"{ts.width[n] / DAY:.6f}\n")
+
+
+def append_estimators(path: str, g: Grid, nts: int, ts: TimestepGrid,
+                      heatingcooling: Optional[dict] = None):
+    """Append one timestep's per-cell state in the reference's
+    estimators_XXXX.out text format (update_grid.cc:42-658):
+    header line 'timestep X modelgridindex Y ... TR Te W TJ ...',
+    followed by heating/cooling lines when available."""
+    tdays = ts.mid[nts] / DAY
+    with open(path, "a") as f:
+        for mgi in range(g.nmodel):
+            if g.rho_init[mgi] <= 0:
+                f.write(f"timestep {nts} modelgridindex {mgi} EMPTYCELL\n")
+                continue
+            f.write(
+                f"timestep {nts} modelgridindex {mgi} titeration 0 "
+                f"TR {g.TR[mgi]:.1f} Te {g.Te[mgi]:.1f} W {g.W[mgi]:.4e} "
+                f"TJ {g.TJ[mgi]:.1f} grey_depth {0.0:.3f} "
+                f"thick {int(g.thick[mgi])} nne {g.nne[mgi]:.3e} "
+                f"tdays {tdays:.3f}\n")
+            if heatingcooling is not None:
+                hc = heatingcooling
+                f.write(f"heating: ff {hc.get('ff', 0.0):.3e} "
+                        f"bf {hc.get('bf', 0.0):.3e} "
+                        f"coll {hc.get('coll', 0.0):.3e} "
+                        f"dep {hc.get('dep', 0.0):.3e}\n")
+
+
+def write_deposition_file(path: str, dep_log: list[dict],
+                          ts: TimestepGrid):
+    """deposition.out analogue (write_deposition_file,
+    sn3d.cc:86-188): per-timestep deposition rates in Lsun."""
+    with open(path, "w") as f:
+        f.write("#ts tmid_days gammadep_Lsun positrondep_Lsun "
+                "eps_elec_Lsun eps_alpha_Lsun total_dep_Lsun\n")
+        for d in dep_log:
+            total = (d["gamma_dep_Lsun"] + d["positron_dep_Lsun"]
+                     + d["electron_dep_Lsun"] + d["alpha_dep_Lsun"])
+            f.write(f"{d['ts']} {d['tmid_days']:.4f} "
+                    f"{d['gamma_dep_Lsun']:.5e} "
+                    f"{d['positron_dep_Lsun']:.5e} "
+                    f"{d['electron_dep_Lsun']:.5e} "
+                    f"{d['alpha_dep_Lsun']:.5e} {total:.5e}\n")
+
+
+def write_packets_file(path: str, arrays_cgs: dict[str, np.ndarray],
+                       extra: Optional[dict] = None):
+    """packets00_XXXX.out-style text dump (write_packets,
+    packet.cc:152-196), with this framework's column subset."""
+    n = len(arrays_cgs["ptype"])
+    cols = ["number", "where", "type_id", "posx", "posy", "posz",
+            "dirx", "diry", "dirz", "e_cmf", "e_rf", "nu_cmf", "nu_rf",
+            "escape_type_id", "escape_time", "nscatterings"]
+    with open(path, "w") as f:
+        f.write("#" + " ".join(cols) + "\n")
+        pos = arrays_cgs["pos"]
+        d = arrays_cgs["dirvec"]
+        for i in range(n):
+            f.write(
+                f"{i} {arrays_cgs.get('cell', np.zeros(n, int))[i]} "
+                f"{arrays_cgs['ptype'][i]} "
+                f"{pos[i, 0]:g} {pos[i, 1]:g} {pos[i, 2]:g} "
+                f"{d[i, 0]:g} {d[i, 1]:g} {d[i, 2]:g} "
+                f"{arrays_cgs['e_cmf'][i]:g} {arrays_cgs['e_rf'][i]:g} "
+                f"{arrays_cgs['nu_cmf'][i]:g} {arrays_cgs['nu_rf'][i]:g} "
+                f"{arrays_cgs['escape_type'][i]} "
+                f"{arrays_cgs['escape_time'][i]:g} "
+                f"{arrays_cgs.get('nscatterings', np.zeros(n, int))[i]}\n")

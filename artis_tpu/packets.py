@@ -71,6 +71,8 @@ class PacketBatch:
     # (the reference's packet.next_trans, rpkt.cc:26-65)
     ma_level: jax.Array  # [N] int32 active macro-atom global level
     # index (the reference's mastate, packet.h:21-26)
+    stokes_q: jax.Array  # [N] f32 Stokes Q/I (packet.h:59)
+    stokes_u: jax.Array  # [N] f32 Stokes U/I
 
     @property
     def n(self) -> int:
@@ -217,6 +219,8 @@ def init_pellets(cfg: SimConfig, g: Grid, dm: decay_mod.DecayModel,
         nu_decay=f32(nu_decay),
         next_trans=i32(np.full(npkts, -1)),
         ma_level=i32(np.zeros(npkts)),
+        stokes_q=f32(np.zeros(npkts)),
+        stokes_u=f32(np.zeros(npkts)),
     )
     return batch, etot
 

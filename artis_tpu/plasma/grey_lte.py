@@ -77,6 +77,24 @@ def update_grid_grey(g: Grid, dm: DecayModel, cfg: SimConfig,
         g.kappagrey = np.where(g.rho_init > 0, g.kappagrey, 0.0)
 
 
+def fit_fullspec_dilute(g: Grid, cfg: SimConfig, J_cgs: np.ndarray,
+                        nubar: np.ndarray):
+    """Dilute-blackbody full-spectrum radiation field fit
+    (set_params_fullspec, radfield.cc:1136-1173):
+      T_J = (pi J / sigma)^1/4
+      T_R = h nubar / (3.832229494 k)
+      W   = pi J / (sigma T_R^4)
+    """
+    from ..constants import H, KB
+    ok = np.isfinite(nubar) & (nubar > 0) & (J_cgs > 0)
+    T_J = np.clip((J_cgs * PI / STEBO) ** 0.25, cfg.mintemp, cfg.maxtemp)
+    T_R = np.clip(H * nubar / KB / 3.832229494, cfg.mintemp, cfg.maxtemp)
+    W = J_cgs * PI / STEBO / T_R**4
+    g.TJ = np.where(ok, T_J, g.TJ)
+    g.TR = np.where(ok, T_R, g.TR)
+    g.W = np.where(ok, W, g.W)
+
+
 def update_temperatures_from_J(g: Grid, cfg: SimConfig,
                                J_cgs: np.ndarray):
     """LTE temperature update from the mean intensity estimator."""

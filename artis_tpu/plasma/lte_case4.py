@@ -43,8 +43,7 @@ def update_thick_flags(g: Grid, cfg: SimConfig, nts: int, tmid: float):
     g.thick = np.where(g.rho_init > 0, thick.astype(np.int32), 0)
 
 
-def compute_case4_state(g: Grid, ad: AtomicData, units: Units
-                        ) -> tuple[np.ndarray, np.ndarray]:
+def compute_case4_state(g: Grid, ad: AtomicData, units: Units):
     """Solve LTE populations for every cell and return the transport
     tables (levelpops [nmodel, nlevels] f32, kff_base [nmodel]).
 
@@ -70,4 +69,4 @@ def compute_case4_state(g: Grid, ad: AtomicData, units: Units
     # free-free cooling rate density [erg/s/cm^3]
     # (calculate_cooling_rates, kpkt.cc:105-109)
     g.cool_ff = 1.426e-27 * np.sqrt(T) * z2n * pops.nne
-    return nl.astype(np.float32), kff_base
+    return nl.astype(np.float32), kff_base, pops

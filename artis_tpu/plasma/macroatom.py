@@ -8,15 +8,20 @@ cached per thread in cellhistory), ALL (cell, level) process rates and
 line-selection CDFs are precomputed once per timestep as dense arrays,
 and the on-device macro-atom walk just gathers + binary-searches them.
 
-Process channels implemented (bound-bound physics):
-  0 RADDEEXC   radiative deexcitation -> r-packet      (deactivation)
-  1 COLDEEXC   collisional deexcitation -> k-packet    (deactivation)
-  2 DOWNSAME   internal downward jump within the ion
-  3 UPSAME     internal upward jump within the ion
+Process channels (enum ma_action, macroatom.h:6-26):
+  0 RADDEEXC    radiative deexcitation -> r-packet     (deactivation)
+  1 COLDEEXC    collisional deexcitation -> k-packet   (deactivation)
+  2 DOWNSAME    internal downward jump within the ion
+  3 UPSAME      internal upward jump within the ion
+  4 RADRECOMB   radiative recombination -> r-packet    (deactivation)
+  5 COLRECOMB   collisional recombination -> k-packet  (deactivation)
+  6 DOWNLOWER   internal jump into the lower ion
+  7 UPHIGHER    internal jump into the upper ion (photo + collisional
+                ionisation; the non-thermal channel joins with the
+                Spencer-Fano solver)
 
-The ionisation/recombination channels (RADRECOMB, COLRECOMB,
-INTERNALDOWNLOWER, INTERNALUPHIGHER/NT; macroatom.cc:98-158) activate
-with the photoionisation machinery in a later milestone.
+Channels 4-7 are active when photoionisation data (PhixsData +
+PhotoionRates) is supplied; bound-bound only otherwise.
 
 Rate formulas (macroatom.cc:922-1062, macroatom.h:52-150):
   R_deexc = A_ul * beta(tau_sobolev)
@@ -40,20 +45,27 @@ HCLIGHTOVERFOURPI = H * CLIGHT / (4.0 * PI)
 CLIGHTSQUAREDOVERTWOH = CLIGHT * CLIGHT / (2.0 * H)
 C_0 = 5.465e-11  # van Regemorter constant
 
-N_MA_PROC = 4
-MA_RADDEEXC, MA_COLDEEXC, MA_DOWNSAME, MA_UPSAME = 0, 1, 2, 3
+N_MA_PROC = 8
+(MA_RADDEEXC, MA_COLDEEXC, MA_DOWNSAME, MA_UPSAME, MA_RADRECOMB,
+ MA_COLRECOMB, MA_DOWNLOWER, MA_UPHIGHER) = range(8)
 
 
 @dataclasses.dataclass(frozen=True)
 class MacroAtomStatic:
-    """Static line orderings for macro-atom sampling (host numpy)."""
+    """Static line/continuum orderings for macro-atom sampling."""
     byup_perm: np.ndarray  # [nlines] line idx sorted by upper level
     up_start: np.ndarray  # [nlevels+1] CSR offsets into byup_perm
     bylo_perm: np.ndarray  # [nlines] line idx sorted by lower level
     lo_start: np.ndarray  # [nlevels+1]
+    # continua sorted by upper target level (for recombination /
+    # internal-down-lower selection); identity dummies without phixs
+    bytarget_perm: np.ndarray  # [ncont]
+    target_start: np.ndarray  # [nlevels+1]
+    # level -> its continuum (-1 if not ionising)
+    level_cont: np.ndarray  # [nlevels]
 
 
-def build_static(ad: AtomicData) -> MacroAtomStatic:
+def build_static(ad: AtomicData, ph=None) -> MacroAtomStatic:
     nlev = ad.nlevels_total
     byup = np.argsort(ad.line_upper, kind="stable").astype(np.int32)
     bylo = np.argsort(ad.line_lower, kind="stable").astype(np.int32)
@@ -61,8 +73,22 @@ def build_static(ad: AtomicData) -> MacroAtomStatic:
                                np.arange(nlev + 1)).astype(np.int32)
     lo_start = np.searchsorted(ad.line_lower[bylo],
                                np.arange(nlev + 1)).astype(np.int32)
+    if ph is not None:
+        bytarget = np.argsort(ph.cont_upperlevel,
+                              kind="stable").astype(np.int32)
+        target_start = np.searchsorted(
+            ph.cont_upperlevel[bytarget],
+            np.arange(nlev + 1)).astype(np.int32)
+        level_cont = ph.level_to_cont(nlev)
+    else:
+        bytarget = np.zeros(1, np.int32)
+        target_start = np.zeros(nlev + 1, np.int32)
+        level_cont = np.full(nlev, -1, np.int32)
     return MacroAtomStatic(byup_perm=byup, up_start=up_start,
-                           bylo_perm=bylo, lo_start=lo_start)
+                           bylo_perm=bylo, lo_start=lo_start,
+                           bytarget_perm=bytarget,
+                           target_start=target_start,
+                           level_cont=level_cont)
 
 
 def _planck_Jnu(nu, T, W):
@@ -76,7 +102,8 @@ def _planck_Jnu(nu, T, W):
 
 def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
                  levelpops: np.ndarray, Te: np.ndarray, TR: np.ndarray,
-                 W: np.ndarray, nne: np.ndarray, t_mid: float):
+                 W: np.ndarray, nne: np.ndarray, t_mid: float,
+                 ph=None, pirates=None):
     """Per-timestep macro-atom tables for all cells.
 
     Returns dict (numpy float32):
@@ -177,6 +204,32 @@ def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
     agg(w_down, up, MA_DOWNSAME)
     agg(w_up, lo, MA_UPSAME)
 
+    # ionisation / recombination channels
+    # (calculate_macroatom_transitionrates, macroatom.cc:98-158)
+    if ph is not None and pirates is not None:
+        nne_col = np.asarray(nne, np.float64)[:, None]
+        eps_lower_c = eps_abs[ph.cont_level][None, :]
+        eps_upper_c = eps_abs[ph.cont_upperlevel][None, :]
+        eps_trans_c = eps_upper_c - eps_lower_c
+        R_rec = nne_col * pirates.alpha_sp  # per upper-ion atom
+        C_rec = pirates.c_rec
+        w_radrec = R_rec * eps_trans_c
+        w_colrec = C_rec * eps_trans_c
+        w_downlower = (R_rec + C_rec) * eps_lower_c
+        # upward: (photoionisation + coll ionisation) * eps_current
+        w_uphigher = ((pirates.gamma_corr + pirates.c_ion)
+                      * eps_lower_c)
+        agg(w_radrec, ph.cont_upperlevel, MA_RADRECOMB)
+        agg(w_colrec, ph.cont_upperlevel, MA_COLRECOMB)
+        agg(w_downlower, ph.cont_upperlevel, MA_DOWNLOWER)
+        agg(w_uphigher, ph.cont_level, MA_UPHIGHER)
+        btp = ma_static.bytarget_perm
+        w_radrec_cum = np.cumsum(w_radrec[:, btp], axis=1)
+        w_downlower_cum = np.cumsum(w_downlower[:, btp], axis=1)
+    else:
+        w_radrec_cum = np.zeros((ncells, 1))
+        w_downlower_cum = np.zeros((ncells, 1))
+
     proc_cum = np.cumsum(proc, axis=2)
 
     # cumulative line-weight rows (global cumsum; spans are recovered
@@ -198,4 +251,6 @@ def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
         "w_downsame": f32(w_down_cum),
         "w_upsame": f32(w_up_cum),
         "w_kcollexc": f32(w_kcollexc_cum),
+        "w_radrecomb": f32(w_radrec_cum),
+        "w_downlower": f32(w_downlower_cum),
     }

@@ -1,0 +1,315 @@
+"""Non-thermal electron physics: the Spencer-Fano equation.
+
+Rebuild of the reference's nonthermal solver (reference:
+nonthermal.cc): fast leptons from radioactive decay degrade in energy
+through Coulomb losses (heating), impact ionisation, and impact
+excitation. The degradation spectrum y(E) solves the Spencer-Fano
+integral equation (Kozma & Fransson 1992) discretised on a linear
+energy grid as an upper-triangular-ish linear system
+(solve_spencerfano, nonthermal.cc:2522-2713).
+
+Implemented here as dense numpy linear algebra per cell (the
+reference uses GSL LU on an SFPTS^2 matrix; SFPTS is configurable
+and the solve vectorises trivially over cells via a batched loop).
+
+Cross sections:
+* electron loss rate: nonthermal.cc:820-840
+* impact excitation: van Regemorter-like (Mewe 1972) or collision
+  strengths, nonthermal.cc:842-930
+* impact ionisation: Younger 1981 fits from reference-format
+  collion.txt; Lotz (1967) formula as the built-in fallback
+* secondary electron spectrum: Opal, Peterson & Beaty (1971),
+  nonthermal.cc:978-1010
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..atomic import AtomicData
+from ..constants import EV, H, ME, PI, QE, H_ionpot
+
+A_NAUGHT_SQUARED = 2.800285203e-17  # Bohr radius squared [cm^2]
+
+
+@dataclasses.dataclass
+class CollIonRow:
+    Z: int
+    nelec: int  # electrons before ionisation (Z - ionstage + 1)
+    ionpot_ev: float
+    A: float
+    B: float
+    C: float
+    D: float
+
+
+def read_collion(path: str) -> list[CollIonRow]:
+    """Parse reference-format collion.txt (Arnaud & Rothenflug /
+    Younger fit parameters; nonthermal.cc collion reading)."""
+    rows = []
+    with open(os.path.join(path, "collion.txt")) as f:
+        toks = f.read().split()
+    n = int(toks[0])
+    pos = 1
+    for _ in range(n):
+        z, nelec, _n, _l = (int(v) for v in toks[pos:pos + 4])
+        ionpot, a, b, c, d = (float(v) for v in toks[pos + 4:pos + 9])
+        pos += 9
+        rows.append(CollIonRow(Z=z, nelec=nelec, ionpot_ev=ionpot,
+                               A=a, B=b, C=c, D=d))
+    return rows
+
+
+def lotz_collion(ad: AtomicData) -> list[CollIonRow]:
+    """Fallback ionisation fits: Lotz (1967) sigma = 4.5e-14 ln(u)/(u I^2)
+    per outermost shell, expressed in the Younger parameterisation
+    (A=B=D=0, C=4.5)."""
+    rows = []
+    for i in range(ad.nions_total):
+        e = ad.ion_element[i]
+        z = int(ad.elem_z[e])
+        stage = int(ad.ion_stage[i])
+        rows.append(CollIonRow(Z=z, nelec=z - stage + 1,
+                               ionpot_ev=float(ad.ion_ionpot[i] / EV),
+                               A=0.0, B=0.0, C=4.5, D=0.0))
+    return rows
+
+
+def electron_loss_rate(energy_erg: np.ndarray, nne: float) -> np.ndarray:
+    """-dE/dx for fast electrons [erg/cm] (nonthermal.cc:820-840)."""
+    e = np.asarray(energy_erg, dtype=np.float64)
+    omegap = np.sqrt(4 * PI * max(nne, 1e-10) * QE**2 / ME)
+    zetae = H * omegap / 2 / PI
+    v = np.sqrt(2 * np.maximum(e, 1e-30) / ME)
+    eulergamma = 0.577215664901532
+    hi = nne * 2 * PI * QE**4 / np.maximum(e, 1e-30) \
+        * np.log(2 * np.maximum(e, 1e-30) / zetae)
+    lo = nne * 2 * PI * QE**4 / np.maximum(e, 1e-30) \
+        * np.log(ME * v**3 / (eulergamma * QE**2 * omegap))
+    out = np.where(e > 14 * EV, hi, lo)
+    return np.where(e > 0, np.maximum(out, 0.0), 0.0)
+
+
+def xs_impact_ionization(en_ev: np.ndarray, row: CollIonRow) -> np.ndarray:
+    """Younger 1981 fit [cm^2] (xs_impactionization,
+    nonthermal.cc:931-950)."""
+    u = en_ev / row.ionpot_ev
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = 1e-14 * (row.A * (1 - 1 / u) + row.B * (1 - 1 / u) ** 2
+                      + row.C * np.log(np.maximum(u, 1e-10))
+                      + row.D * np.log(np.maximum(u, 1e-10)) / u) \
+            / (u * row.ionpot_ev**2)
+    return np.where(u > 1.0, np.maximum(xs, 0.0), 0.0)
+
+
+def _get_J(Z: int, ionstage: int, ionpot_ev: float) -> float:
+    """Opal et al. 1971 secondary-spectrum shape parameter [eV]
+    (get_J, nonthermal.cc:1012-1026)."""
+    if ionstage == 1:
+        if Z == 2:
+            return 15.8
+        if Z == 10:
+            return 24.2
+        if Z == 18:
+            return 10.0
+    return 0.6 * ionpot_ev
+
+
+@dataclasses.dataclass
+class SFSolution:
+    """Per-cell Spencer-Fano solution analysis."""
+    frac_heating: np.ndarray  # [ncells]
+    frac_ionization: np.ndarray
+    frac_excitation: np.ndarray
+    # NT ionisation rate coefficient per (cell, ion) [1/s] per target
+    # atom, scaled to unit deposition rate density; multiply by the
+    # cell's deposition rate density [erg/s/cm^3]
+    ion_rate_per_dep: np.ndarray  # [ncells, nions]
+    E_init_ev: float
+    y: Optional[np.ndarray] = None  # [ncells, SFPTS] (diagnostics)
+
+
+class SpencerFanoSolver:
+    def __init__(self, ad: AtomicData, sfpts: int = 512,
+                 emin_ev: float = 1.0, emax_ev: float = 3000.0,
+                 colliondata: Optional[list[CollIonRow]] = None,
+                 max_excitation_lines: int = 1000):
+        self.ad = ad
+        self.sfpts = sfpts
+        self.en = np.linspace(emin_ev, emax_ev, sfpts)  # eV
+        self.de = self.en[1] - self.en[0]
+        self.emin, self.emax = emin_ev, emax_ev
+        self.collion = colliondata or lotz_collion(ad)
+        self.max_excitation_lines = max_excitation_lines
+
+        # source: electrons injected uniformly over the top ~3% of the
+        # grid (solve_spencerfano source setup, nonthermal.cc:565-580)
+        spread = int(np.ceil(sfpts * 0.03333))
+        src = np.zeros(sfpts)
+        src[-spread:] = 1.0 / (self.de * spread)
+        self.source = src
+        self.E_init_ev = float(np.sum(self.en * src) * self.de)
+        # rhs_i = integral of source from E_i to EMAX
+        self.rhs = np.array([np.sum(src[i + 1:]) * self.de
+                             for i in range(sfpts)])
+
+        # precompute per-line excitation cross sections on the grid
+        self._prep_excitation()
+
+    def _prep_excitation(self):
+        ad = self.ad
+        lo, up = ad.line_lower, ad.line_upper
+        eps_ev = (ad.level_energy[up] - ad.level_energy[lo]) / EV
+        usable = (eps_ev > self.emin) & (
+            (ad.line_coll_str >= 0) | (~ad.line_forbidden))
+        idx = np.nonzero(usable)[0]
+        # keep the strongest transitions (by oscillator strength) to
+        # bound the matrix-assembly cost (the reference caps upper
+        # levels via NTEXCITATION_MAXNLEVELS, nonthermal.cc:2290-2341)
+        if len(idx) > self.max_excitation_lines:
+            order = np.argsort(-ad.line_f[idx])
+            idx = idx[order[:self.max_excitation_lines]]
+        self.exc_lines = idx
+        self.exc_eps_ev = eps_ev[idx]
+        en = self.en
+        xs = np.zeros((len(idx), self.sfpts))
+        for k, l in enumerate(idx):
+            eps = eps_ev[l] * EV
+            if ad.line_coll_str[l] >= 0:
+                const = (H_ionpot**2 / ad.level_g[lo[l]]
+                         * ad.line_coll_str[l] * PI * A_NAUGHT_SQUARED)
+                xs[k] = const / (en * EV) ** 2
+            else:
+                U = en * EV / eps
+                g_bar = 0.28 * np.log(np.maximum(U, 1.0001)) + 0.15
+                xs[k] = (45.585750051 * A_NAUGHT_SQUARED
+                         * (H_ionpot / eps) ** 2 * ad.line_f[l]
+                         * g_bar / U)
+            xs[k] = np.where(en * EV >= eps, np.maximum(xs[k], 0.0), 0.0)
+        self.exc_xs = xs  # [nlines_used, SFPTS]
+
+    # -- matrix assembly ---------------------------------------------
+    def _build_matrix(self, nne: float, levelpops_cell: np.ndarray,
+                      ion_numberdens_cell: np.ndarray) -> np.ndarray:
+        sfpts, en, de = self.sfpts, self.en, self.de
+        ad = self.ad
+        M = np.zeros((sfpts, sfpts))
+
+        # continuous energy loss (diagonal)
+        M[np.arange(sfpts), np.arange(sfpts)] += \
+            electron_loss_rate(en * EV, nne) / EV
+
+        # impact excitation (sfmatrix_add_excitation,
+        # nonthermal.cc:2282-2341): for each line, y(E') loses
+        # electrons from E' in [E, E + eps)
+        for k, l in enumerate(self.exc_lines):
+            nnlevel = levelpops_cell[ad.line_lower[l]]
+            if nnlevel <= 0:
+                continue
+            w = max(int(round(self.exc_eps_ev[k] / de)), 1)
+            contrib = nnlevel * self.exc_xs[k] * de
+            for d in range(min(w, sfpts)):
+                j = np.arange(d, sfpts)
+                M[j - d, j] += contrib[j]
+
+        # impact ionisation (sfmatrix_add_ionization,
+        # nonthermal.cc:2343-2460) with the Opal secondary spectrum
+        ion_lookup = {}
+        for i in range(ad.nions_total):
+            z = int(ad.elem_z[ad.ion_element[i]])
+            stage = int(ad.ion_stage[i])
+            ion_lookup[(z, z - stage + 1)] = ion_numberdens_cell[i]
+        EN_I, EN_J = np.meshgrid(en, en, indexing="ij")
+        for row in self.collion:
+            nnion = ion_lookup.get((row.Z, row.nelec), 0.0)
+            if nnion <= 0 or row.ionpot_ev < self.emin:
+                continue
+            I = row.ionpot_ev
+            J = _get_J(row.Z, row.Z - row.nelec + 1, I)
+            xs = xs_impact_ionization(en, row)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                eps_up = np.minimum((en + I) / 2, en)
+                int_eps_upper = np.arctan((eps_up - I) / J)
+                denom = np.arctan((en - I) / 2 / J)
+                pref = np.where(denom > 0, xs * nnion / denom, 0.0)
+            # first integral: E' from E up; eps_lower = max(E'-E, I)
+            eps_lower = np.maximum(EN_J - EN_I, I)
+            iel = np.arctan((eps_lower - I) / J)
+            term = pref[None, :] * np.maximum(
+                int_eps_upper[None, :] - iel, 0.0) * de
+            term = np.where(EN_J >= EN_I, term, 0.0)
+            M += term
+            # second integral (secondary electron production):
+            # E' >= 2E + I
+            iel2 = np.arctan(EN_I / J)
+            term2 = pref[None, :] * np.maximum(
+                int_eps_upper[None, :] - iel2, 0.0) * de
+            term2 = np.where(EN_J >= 2 * EN_I + I, term2, 0.0)
+            M -= term2
+        return M
+
+    # -- solve + analysis --------------------------------------------
+    def solve(self, nne: np.ndarray, levelpops: np.ndarray,
+              ion_numberdens: np.ndarray,
+              store_y: bool = False) -> SFSolution:
+        """Solve for every cell and analyse the energy deposition
+        fractions (analyse_sf_solution, nonthermal.cc:1996-2460)."""
+        ncells = len(nne)
+        ad = self.ad
+        en, de = self.en, self.de
+        frac_heat = np.zeros(ncells)
+        frac_ion = np.zeros(ncells)
+        frac_exc = np.zeros(ncells)
+        ion_rate = np.zeros((ncells, ad.nions_total))
+        ys = np.zeros((ncells, self.sfpts)) if store_y else None
+
+        for c in range(ncells):
+            if nne[c] <= 0:
+                frac_heat[c] = 1.0
+                continue
+            M = self._build_matrix(float(nne[c]), levelpops[c],
+                                   ion_numberdens[c])
+            y = np.linalg.solve(M, self.rhs)
+            if store_y:
+                ys[c] = y
+
+            # fractions (Kozma & Fransson 1992 eqs 13-15)
+            # excitation: sum_lines int y xs eps n_l dE / E_init
+            fe = 0.0
+            for k, l in enumerate(self.exc_lines):
+                nnlevel = levelpops[c][ad.line_lower[l]]
+                if nnlevel <= 0:
+                    continue
+                fe += (nnlevel * self.exc_eps_ev[k]
+                       * np.sum(self.exc_xs[k] * y) * de)
+            frac_exc[c] = fe / self.E_init_ev
+
+            fi = 0.0
+            ion_lookup = {}
+            for i in range(ad.nions_total):
+                z = int(ad.elem_z[ad.ion_element[i]])
+                stage = int(ad.ion_stage[i])
+                ion_lookup[i] = (z, z - stage + 1)
+            for row in self.collion:
+                for i, key in ion_lookup.items():
+                    if key != (row.Z, row.nelec):
+                        continue
+                    nnion = ion_numberdens[c][i]
+                    if nnion <= 0:
+                        continue
+                    xs = xs_impact_ionization(en, row)
+                    rate = np.sum(xs * y) * de  # per ion per unit dep
+                    fi += nnion * row.ionpot_ev * rate
+                    ion_rate[c, i] += rate / self.E_init_ev / EV
+            frac_ion[c] = fi / self.E_init_ev
+            frac_heat[c] = max(0.0, 1.0 - frac_ion[c] - frac_exc[c])
+
+        return SFSolution(frac_heating=frac_heat,
+                          frac_ionization=frac_ion,
+                          frac_excitation=frac_exc,
+                          ion_rate_per_dep=ion_rate,
+                          E_init_ev=self.E_init_ev, y=ys)

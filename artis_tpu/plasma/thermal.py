@@ -1,0 +1,134 @@
+"""Electron-temperature solve from thermal balance.
+
+Rebuild of the reference's T_e finder (reference: thermalbalance.cc:
+``call_T_e_finder`` 397-520, ``calculate_heating_rates`` 218-346,
+``T_e_eqn_heating_minus_cooling`` 349-396) as a vectorised bisection
+over ALL cells simultaneously (the reference runs a GSL Brent solve
+per cell).
+
+heating(T_e) = ffheating_estimator + sum_cont n_l(T_e) bfheating_coeff
+               + colheating_estimator [+ non-thermal deposition frac]
+cooling(T_e) = C_ff + C_fb + C_collexc + C_collion + adiabatic
+
+Populations are re-solved (LTE Saha) at each trial temperature, as the
+reference does via calculate_populations inside the root function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..atomic import AtomicData
+from ..constants import KB
+from ..phixs import PhixsData
+from . import lte, photoion
+from .macroatom import C_0  # noqa: F401 (re-export convenience)
+
+
+def cooling_rates(ad: AtomicData, ph: PhixsData, nl: np.ndarray,
+                  pops: lte.IonPopulations, Te: np.ndarray,
+                  rates: photoion.PhotoionRates, t_mid: float):
+    """Total cooling rate density [erg/s/cm^3] per cell at Te.
+
+    Reuses the kpkt cooling channel formulas (calculate_cooling_rates,
+    kpkt.cc:84-167)."""
+    Te = np.maximum(Te, 1.0)
+    charges = (ad.ion_stage - 1).astype(np.float64)
+    z2n = pops.ion_numberdens @ (charges**2)
+    c_ff = 1.426e-27 * np.sqrt(Te) * z2n * pops.nne
+
+    # fb cooling: bfcooling_coeff * n_upperion * nne per continuum
+    upion_pop = np.zeros((len(Te), ph.ncont))
+    for ci in range(ph.ncont):
+        i = ph.cont_upperion[ci]
+        s, e = ad.ion_level_start[i], ad.ion_level_start[i + 1]
+        upion_pop[:, ci] = nl[:, s:e].sum(axis=1)
+    c_fb = (rates.bfcooling * upion_pop * pops.nne[:, None]).sum(axis=1)
+
+    # collisional excitation cooling: direct sum of
+    # C_exc * eps_trans * n_l over lines (get_cooling_ion_coll_exc,
+    # kpkt.cc; same formulas as macroatom.h:109-150)
+    from ..constants import H_ionpot, KB as KB_
+    Te_c = Te[:, None]
+    lo, up = ad.line_lower, ad.line_upper
+    eps_trans = (ad.level_energy[up] - ad.level_energy[lo])[None, :]
+    eokt = eps_trans / (KB_ * Te_c)
+    cs = ad.line_coll_str[None, :]
+    forb = ad.line_forbidden[None, :]
+    f_lu = ad.line_f[None, :]
+    g_l = ad.level_g[lo][None, :]
+    g_u = ad.level_g[up][None, :]
+    sqTe = np.sqrt(Te_c)
+    nne_c = pops.nne[:, None]
+    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+        gaunt = np.where(eokt > 0.33421, 0.2,
+                         0.276 * np.exp(np.minimum(eokt, 500.0))
+                         * (-0.5772156649
+                            - np.log(np.maximum(eokt, 1e-30))))
+        vr_exc = (C_0 * nne_c * sqTe * 14.51039491 * f_lu
+                  * (H_ionpot / eps_trans) ** 2 * eokt
+                  * np.exp(-np.minimum(eokt, 500.0))
+                  * np.maximum(gaunt, 0.2))
+        axel_exc = (nne_c * 8.629e-6 * 0.01
+                    * np.exp(-np.minimum(eokt, 500.0)) * g_u / sqTe)
+        cs_exc = (nne_c * 8.629e-6 * cs
+                  * np.exp(-np.minimum(eokt, 500.0)) / g_l / sqTe)
+    C_exc = np.where(cs >= 0, cs_exc, np.where(forb, axel_exc, vr_exc))
+    c_exc = (C_exc * eps_trans * nl[:, lo]).sum(axis=1)
+
+    eps_tr = (ad.level_energy[ph.cont_upperlevel]
+              - ad.level_energy[ph.cont_level])[None, :]
+    c_ion = (nl[:, ph.cont_level] * rates.c_ion * eps_tr).sum(axis=1)
+    return c_ff, c_fb, c_exc, c_ion
+
+
+def solve_Te(ad: AtomicData, ph: PhixsData, elem_numberdens: np.ndarray,
+             TR: np.ndarray, W: np.ndarray, ffheat_est: np.ndarray,
+             colheat_est: np.ndarray, t_mid: float, vol_tmin: np.ndarray,
+             tmin: float, mintemp: float, maxtemp: float,
+             niter: int = 24) -> np.ndarray:
+    """Bisection on heating(T_e) - cooling(T_e) = 0 for every cell.
+
+    ffheat_est/colheat_est are normalised estimator values
+    [erg/s/cm^3]. Returns T_e clamped to [mintemp, maxtemp]; cells with
+    no bracket take the boundary with the smaller |imbalance|
+    (call_T_e_finder's fallback, thermalbalance.cc:470-516).
+    """
+    ncells = elem_numberdens.shape[0]
+    trat = t_mid / tmin
+
+    def imbalance(Te):
+        pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
+        nl = lte.level_populations(ad, pops, Te)
+        rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne)
+        # heating: ff (estimator) + bf (analytic, T_R based) + coll est
+        bfheat = (nl[:, ph.cont_level] * rates.bfheating).sum(axis=1)
+        heating = ffheat_est + bfheat + colheat_est
+        c_ff, c_fb, c_exc, c_ion = cooling_rates(ad, ph, nl, pops, Te,
+                                                 rates, t_mid)
+        # adiabatic cooling (thermalbalance.cc:382-389):
+        # p dV/V = n k T * 3/t
+        nntot = elem_numberdens.sum(axis=1) + pops.nne
+        cooling_ad = nntot * KB * Te * 3.0 / t_mid
+        return heating - (c_ff + c_fb + c_exc + c_ion + cooling_ad)
+
+    lo = np.full(ncells, mintemp)
+    hi = np.full(ncells, maxtemp)
+    f_lo = imbalance(lo)
+    f_hi = imbalance(hi)
+    bracketed = f_lo * f_hi < 0
+
+    for _ in range(niter):
+        mid = 0.5 * (lo + hi)
+        f_mid = imbalance(mid)
+        go_up = np.sign(f_mid) == np.sign(f_lo)
+        lo = np.where(go_up, mid, lo)
+        f_lo = np.where(go_up, f_mid, f_lo)
+        hi = np.where(go_up, hi, mid)
+
+    Te = 0.5 * (lo + hi)
+    # no bracket: heating dominates everywhere -> maxtemp; cooling
+    # dominates everywhere -> mintemp (call_T_e_finder's clamping,
+    # thermalbalance.cc:470-516)
+    Te = np.where(bracketed, Te, np.where(f_lo > 0, maxtemp, mintemp))
+    return np.clip(Te, mintemp, maxtemp)

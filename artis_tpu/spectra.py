@@ -25,6 +25,9 @@ from .packets import TYPE_ESCAPE, TYPE_GAMMA, TYPE_RPKT
 from .timesteps import TimestepGrid
 
 MPC2 = (1e6 * PARSEC) ** 2
+NCOSTHETABINS = 10
+NPHIBINS = 10
+MABINS = NCOSTHETABINS * NPHIBINS
 
 
 @dataclasses.dataclass
@@ -43,11 +46,48 @@ def _arrival_times(pos_cgs: np.ndarray, dir_: np.ndarray,
     return escape_time_s - np.sum(pos_cgs * dir_, axis=1) / CLIGHT_PROP
 
 
+def escape_direction_bins(dirs: np.ndarray,
+                          syn_dir=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """Observer-direction bin (10 cos-theta x 10 phi) for each escape
+    direction (get_escapedirectionbin, vectors.h:158-192)."""
+    syn = np.asarray(syn_dir, dtype=np.float64)
+    syn = syn / np.linalg.norm(syn)
+    d = dirs / np.maximum(np.linalg.norm(dirs, axis=1, keepdims=True),
+                          1e-30)
+    costheta = d @ syn
+    costhetabin = np.clip(((costheta + 1.0) * NPHIBINS / 2.0).astype(int),
+                          0, NCOSTHETABINS - 1)
+    xhat = np.array([1.0, 0.0, 0.0])
+    vec1 = np.cross(d, syn)
+    vec2 = np.cross(xhat, syn)
+    n1 = np.maximum(np.linalg.norm(vec1, axis=1), 1e-30)
+    n2 = max(np.linalg.norm(vec2), 1e-30)
+    cosphi = np.clip(vec1 @ vec2 / n1 / n2, -1.0, 1.0)
+    vec3 = np.cross(vec2, syn)
+    testphi = vec1 @ vec3
+    phibin = np.where(testphi > 0,
+                      np.arccos(cosphi) / 2.0 / PI * NPHIBINS,
+                      (np.arccos(cosphi) + PI) / 2.0 / PI * NPHIBINS)
+    phibin = np.clip(phibin.astype(int), 0, NPHIBINS - 1)
+    return costhetabin * NPHIBINS + phibin
+
+
 def build_spectra(escaped: dict[str, np.ndarray], ts: TimestepGrid,
                   nu_min: float, nu_max: float, nnubins: int,
-                  vmax: float = 0.0) -> Spectra:
+                  vmax: float = 0.0, abin: int = -1,
+                  syn_dir=(0.0, 0.0, 1.0)) -> Spectra:
     """Bin escaped packets (float64 CGS arrays: pos, dirvec, nu_rf,
-    e_rf, e_cmf, escape_time) into time x log-nu flux."""
+    e_rf, e_cmf, escape_time) into time x log-nu flux.
+
+    ``abin`` = -1 gives the angle average; 0..99 selects one of the
+    10x10 escape-direction bins (the exspec angle-resolved mode,
+    exspec.cc:142-250), scaled by MABINS to keep the 1 Mpc flux
+    normalisation."""
+    if abin >= 0:
+        bins = escape_direction_bins(escaped["dirvec"], syn_dir)
+        keep = bins == abin
+        escaped = {k: v[keep] for k, v in escaped.items()}
+    anglefactor = MABINS if abin >= 0 else 1.0
     t_arrive = _arrival_times(escaped["pos"], escaped["dirvec"],
                               escaped["escape_time"])
     nu = escaped["nu_rf"]
@@ -70,6 +110,7 @@ def build_spectra(escaped: dict[str, np.ndarray], ts: TimestepGrid,
 
     flux = np.zeros((ts.n, nnubins))
     np.add.at(flux, (it, inu), e_rf[ok])
+    flux *= anglefactor
     flux /= ts.width[:, None]
     flux /= nu_delta[None, :]
     flux /= 4e12 * PI * PARSEC * PARSEC  # -> flux at 1 Mpc
@@ -77,6 +118,7 @@ def build_spectra(escaped: dict[str, np.ndarray], ts: TimestepGrid,
     # bolometric light curve over all escaping r-packet energy
     lum = np.zeros(ts.n)
     np.add.at(lum, it, e_rf[ok])
+    lum *= anglefactor
     lum /= ts.width
 
     # comoving-frame light curve (light_curve.cc:46-52)
@@ -107,6 +149,58 @@ def write_light_curve(path: str, spec: Spectra):
     with open(path, "w") as f:
         for t, l, lc in zip(spec.time_mid, spec.lum, spec.lum_cmf):
             f.write(f"{t:g} {l / LSUN:g} {lc / LSUN:g}\n")
+
+
+def build_specpol(escaped: dict[str, np.ndarray], ts: TimestepGrid,
+                  nu_min: float, nu_max: float, nnubins: int):
+    """Stokes I/Q/U spectra from escaped packets with polarisation
+    state (add_to_spec's Stokes branch, spectrum.cc:339-500).
+
+    Returns (I, Q, U) flux arrays [nts, nnu] at 1 Mpc."""
+    t_arrive = _arrival_times(escaped["pos"], escaped["dirvec"],
+                              escaped["escape_time"])
+    nu = escaped["nu_rf"]
+    e_rf = escaped["e_rf"]
+    q = escaped.get("stokes_q", np.zeros_like(e_rf))
+    u = escaped.get("stokes_u", np.zeros_like(e_rf))
+
+    tmin = ts.start[0]
+    tmax = ts.start[-1] + ts.width[-1]
+    dlognu = (np.log(nu_max) - np.log(nu_min)) / nnubins
+    nu_delta = (np.exp(np.log(nu_min)
+                       + (np.arange(nnubins) + 1) * dlognu)
+                - np.exp(np.log(nu_min) + np.arange(nnubins) * dlognu))
+    ok = ((t_arrive > tmin) & (t_arrive < tmax)
+          & (nu > nu_min) & (nu < nu_max))
+    it = np.clip(np.searchsorted(ts.start, t_arrive[ok], "right") - 1,
+                 0, ts.n - 1)
+    inu = np.clip(((np.log(nu[ok]) - np.log(nu_min))
+                   / dlognu).astype(np.int64), 0, nnubins - 1)
+    norm = 1.0 / (4e12 * PI * PARSEC * PARSEC)
+    out = []
+    for w in (np.ones_like(e_rf), q, u):
+        f = np.zeros((ts.n, nnubins))
+        np.add.at(f, (it, inu), (e_rf * w)[ok])
+        f *= norm / ts.width[:, None] / nu_delta[None, :]
+        out.append(f)
+    return tuple(out)
+
+
+def write_specpol(path: str, ts: TimestepGrid, I, Q, U, nu_min, nu_max):
+    """specpol.out: blocks of I, Q, U spectra (write_specpol,
+    spectrum.cc:214-305 layout: time row then per-nu rows with the
+    three Stokes blocks concatenated column-wise)."""
+    nnubins = I.shape[1]
+    dlognu = (np.log(nu_max) - np.log(nu_min)) / nnubins
+    nu_c = np.exp(np.log(nu_min) + (np.arange(nnubins) + 0.5) * dlognu)
+    with open(path, "w") as f:
+        trow = " ".join(f"{t / 86400.0:g}" for t in ts.mid)
+        f.write(f"0.0 {trow} {trow} {trow}\n")
+        for i in range(nnubins):
+            cols = [f"{nu_c[i]:g}"]
+            for blk in (I, Q, U):
+                cols += [f"{blk[n, i]:g}" for n in range(ts.n)]
+            f.write(" ".join(cols) + "\n")
 
 
 def write_spectrum(path: str, spec: Spectra):

@@ -65,6 +65,23 @@ class TransportParams:
     ma_up_start: jax.Array  # [nlevels+1] int32
     ma_bylo_perm: jax.Array  # [nlines] int32
     ma_lo_start: jax.Array  # [nlevels+1] int32
+    # non-thermal ionisation targets: upper-ion ground level per ion
+    # (-1 when there is no upper ion); used by the Spencer-Fano
+    # deposition channels
+    nt_target_level: jax.Array  # [nions] int32
+    # bound-free continua (phixs.py); dummies when no phixs data
+    ma_bytarget_perm: jax.Array  # [ncont] int32
+    ma_target_start: jax.Array  # [nlevels+1] int32
+    level_cont: jax.Array  # [nlevels] int32 (-1 = not ionising)
+    cont_nu_edge: jax.Array  # [ncont] f32 [Hz]
+    cont_level: jax.Array  # [ncont] int32 lower level
+    cont_upperlevel: jax.Array  # [ncont] int32 target level
+    cont_sigma: jax.Array  # [ncont, NP] f32 [cm^2]
+    cont_nuinc: jax.Array  # f32 grid spacing of x = nu/nu_edge
+    # bf opacity binning parameters
+    bf_lognu_min: jax.Array  # f32
+    bf_dlognu: jax.Array  # f32
+    bf_dlognu_sel: jax.Array  # f32
     # Planck inverse-CDF table
     planck_x: jax.Array  # [P] log-spaced x = h nu / k T
     planck_cdf: jax.Array  # [P]
@@ -91,6 +108,9 @@ def zero_estimators(nmodel: int) -> dict[str, jax.Array]:
     return {
         "J": jnp.zeros(nmodel + 1, jnp.float32),
         "nuJ": jnp.zeros(nmodel + 1, jnp.float32),
+        "ffheat": jnp.zeros(nmodel + 1, jnp.float32),
+        "colheat": jnp.zeros(nmodel + 1, jnp.float32),
+        "dep_cell": jnp.zeros(nmodel + 1, jnp.float32),
         "gamma_dep": z(), "positron_dep": z(), "electron_dep": z(),
         "alpha_dep": z(), "gamma_emission": z(), "electron_emission": z(),
         "alpha_emission": z(), "cmf_lum": z(),
@@ -200,6 +220,40 @@ def sample_planck_nu(u, T, params: TransportParams):
     return jnp.clip(nu, params.nu_min_r, params.nu_max_r)
 
 
+def sample_recomb_nu(cont_idx, Te, u, params: TransportParams):
+    """Sample the emission frequency of a radiative recombination from
+    the continuum emissivity sigma(nu) nu^3 exp(-h(nu-nu_edge)/kTe)
+    (select_continuum_nu, ratecoeff.cc:628-720), via a two-pass scan
+    over the cross-section grid."""
+    NP = params.cont_sigma.shape[1]
+    nu_edge = params.cont_nu_edge[cont_idx]
+    Tsafe = jnp.maximum(Te, 1.0)
+    a = jnp.float32(H / KB) * nu_edge / Tsafe  # exponent scale
+
+    def w_at(i):
+        x = 1.0 + params.cont_nuinc * i
+        sig = params.cont_sigma[cont_idx, i]
+        return sig * x**3 * jnp.exp(-a * (x - 1.0))
+
+    def sum_body(i, acc):
+        return acc + w_at(i)
+
+    total = jax.lax.fori_loop(0, NP, sum_body, jnp.zeros_like(nu_edge))
+    target = u * total
+
+    def pick_body(i, st):
+        acc, idx = st
+        acc2 = acc + w_at(i)
+        idx = jnp.where((acc2 >= target) & (idx < 0), i, idx)
+        return acc2, idx
+
+    _, idx = jax.lax.fori_loop(
+        0, NP, pick_body,
+        (jnp.zeros_like(nu_edge), jnp.full_like(cont_idx, -1)))
+    idx = jnp.clip(idx, 0, NP - 1)
+    return nu_edge * (1.0 + params.cont_nuinc * idx.astype(jnp.float32))
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -234,7 +288,7 @@ def _emit_isotropic(pos, t, u1, u2, relativistic):
 def _event_step(pk: PacketBatch, est: dict, tables: dict,
                 params: TransportParams, t2, nts_is_first, base_key,
                 grid_type: str, ncoord: int, relativistic: bool,
-                detailed: bool):
+                detailed: bool, polarization: bool = False):
     """Advance every active packet by one event / conversion.
 
     With ``detailed`` (static flag, opacity_case 4), r-packets in
@@ -322,7 +376,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         e_rf=pk.e_cmf / dopp, last_cross=geo.BOUNDARY_NONE,
         em_time=tdecay)
     # no known gamma spectrum -> thermalise (gammapkt.cc:266-270)
-    upd(m_gamma & ~has_lines, ptype=TYPE_KPKT, pos=pos_dec,
+    upd(m_gamma & ~has_lines, ptype=TYPE_KPKT,
+        nscatterings=jnp.int32(0), pos=pos_dec,
         prop_time=tdecay)
 
     # (c) decayed before tmin (first timestep only): Lucy 2004 losses
@@ -341,10 +396,43 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     scal["positron_dep"] += msum(m_nt & is_bplus, pk.e_cmf)
     upd(m_nt, ptype=TYPE_NTLEPTON)
 
-    # NT leptons: without the Spencer-Fano solver everything goes to
-    # heating -> k-packet (do_ntlepton's LTE branch, nonthermal.cc:1877)
+    # NT leptons (do_ntlepton, nonthermal.cc:1877-1980): with the
+    # Spencer-Fano solution, deposited energy splits into ionisation
+    # (-> macro-atom in the upper ion) and heating (-> k-packet); the
+    # NT excitation fraction is folded into heating for now. Without
+    # the solver (grey mode / nonthermal off) everything heats.
     m_lep = active & (pk.ptype == TYPE_NTLEPTON)
-    upd(m_lep, ptype=TYPE_KPKT)
+    if detailed:
+        nt_fi = tables["nt_frac_ion"][mgi]
+        nions_nt = tables["nt_ion_cum"].shape[1]
+        lep_ion = m_lep & (u[:, 8] < nt_fi)
+        # select the ion by binary search of the cumulative
+        # energy-weighted NT ionisation rates (select_nt_ionization2,
+        # nonthermal.cc:1858-1875)
+        tot_w_nt = tables["nt_ion_cum"][mgi, nions_nt - 1]
+        target_nt = jnp.clip(u[:, 9], 0.0, 1.0) * tot_w_nt
+
+        def nt_body(_, lohi):
+            lo_i, hi_i = lohi
+            mid = (lo_i + hi_i) // 2
+            below = tables["nt_ion_cum"][
+                mgi, jnp.clip(mid, 0, nions_nt - 1)] < target_nt
+            return (jnp.where(below, mid + 1, lo_i),
+                    jnp.where(below, hi_i, mid))
+
+        ntlo, _ = jax.lax.fori_loop(
+            0, 12, nt_body,
+            (jnp.zeros_like(pk.cell), jnp.full_like(pk.cell,
+                                                    nions_nt - 1)))
+        nt_ion = jnp.clip(ntlo, 0, params.nt_target_level.shape[0] - 1)
+        nt_lvl = params.nt_target_level[nt_ion]
+        lep_ion = lep_ion & (nt_lvl >= 0) & (tot_w_nt > 0)
+        upd(lep_ion, ptype=TYPE_MA, ma_level=jnp.maximum(nt_lvl, 0),
+            next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
+        upd(m_lep & ~lep_ion, ptype=TYPE_KPKT,
+            nscatterings=jnp.int32(0))
+    else:
+        upd(m_lep, ptype=TYPE_KPKT, nscatterings=jnp.int32(0))
 
     # =====================================================================
     # phase A2b: macro-atom jump (do_macroatom, macroatom.cc:416-901):
@@ -355,32 +443,67 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         nlev = params.ma_up_start.shape[0] - 1
         m_ma = active & (pk.ptype == TYPE_MA)
         lvl = jnp.clip(pk.ma_level, 0, nlev - 1)
-        pc = tables["ma_proc_cum"][mgi, lvl]  # [N, 4] cumulative
-        ma_total = pc[:, 3]
-        ma_stuck = m_ma & (ma_total <= 0)
+        pc = tables["ma_proc_cum"][mgi, lvl]  # [N, 8] cumulative
+        ma_total = pc[:, 7]
         target_p = u[:, 10] * ma_total
         # process index: count how many cumulative sums are below target
         k_proc = jnp.sum((target_p[:, None] >= pc).astype(jnp.int32),
                          axis=1)
-        k_proc = jnp.clip(k_proc, 0, 3)
+        k_proc = jnp.clip(k_proc, 0, 7)
 
-        # line selection: binary search the cumulative weight row over
-        # this level's CSR span (replaces the linear scans in
+        # resonance-trap guard: nearly-degenerate level pairs ping-pong
+        # via the energy-weighted internal up/down rates with a
+        # deactivation probability that can be ~1e-6 per visit. The
+        # reference's per-packet loop (do_macroatom, macroatom.cc:416+)
+        # only wastes that one thread; in a megabatch one trapped lane
+        # stalls the whole device, so after MA_JUMP_CAP internal jumps
+        # within a single activation (counted in ``nscatterings``,
+        # unused while in the MA state) the choice is restricted to the
+        # four deactivation channels (raddeexc/coldeexc/radrecomb/
+        # colrecomb, renormalised) so the excitation leaves the atom.
+        MA_JUMP_CAP = 16
+        p_ch = jnp.diff(pc, axis=1,
+                        prepend=jnp.zeros_like(pc[:, :1]))
+        d_cum = jnp.cumsum(
+            jnp.stack([p_ch[:, 0], p_ch[:, 1], p_ch[:, 4], p_ch[:, 5]],
+                      axis=1), axis=1)
+        d_tot = d_cum[:, 3]
+        ma_capped = pk.nscatterings >= MA_JUMP_CAP
+        kd = jnp.sum(((u[:, 10] * d_tot)[:, None] >= d_cum)
+                     .astype(jnp.int32), axis=1)
+        k_deact = jnp.asarray([0, 1, 4, 5], jnp.int32)[
+            jnp.clip(kd, 0, 3)]
+        k_proc = jnp.where(ma_capped & (d_tot > 0), k_deact, k_proc)
+        # no process at all / no deactivation channel: thermalise
+        ma_stuck = m_ma & ((ma_total <= 0)
+                           | (ma_capped & (d_tot <= 0)))
+
+        # line/continuum selection: binary search the cumulative weight
+        # row over this level's CSR span (replaces the linear scans in
         # do_macroatom_internal_down_same, macroatom.cc:174-220)
         is_up = k_proc == 3  # MA_UPSAME
-        span_s = jnp.where(is_up, params.ma_lo_start[lvl],
-                           params.ma_up_start[lvl])
-        span_e = jnp.where(is_up, params.ma_lo_start[lvl + 1],
-                           params.ma_up_start[lvl + 1])
+        is_cont_sel = (k_proc == 4) | (k_proc == 6)  # recomb/downlower
+        span_s = jnp.where(is_cont_sel, params.ma_target_start[lvl],
+                           jnp.where(is_up, params.ma_lo_start[lvl],
+                                     params.ma_up_start[lvl]))
+        span_e = jnp.where(is_cont_sel, params.ma_target_start[lvl + 1],
+                           jnp.where(is_up, params.ma_lo_start[lvl + 1],
+                                     params.ma_up_start[lvl + 1]))
         span_e = jnp.maximum(span_e, span_s + 1)
 
         def cumw(i):
-            i = jnp.clip(i, 0, tables["ma_w_raddeexc"].shape[1] - 1)
-            vr = tables["ma_w_raddeexc"][mgi, i]
-            vd = tables["ma_w_downsame"][mgi, i]
-            vu = tables["ma_w_upsame"][mgi, i]
-            return jnp.where(k_proc == 3, vu,
-                             jnp.where(k_proc == 2, vd, vr))
+            li = jnp.clip(i, 0, tables["ma_w_raddeexc"].shape[1] - 1)
+            ci = jnp.clip(i, 0, tables["ma_w_radrecomb"].shape[1] - 1)
+            vr = tables["ma_w_raddeexc"][mgi, li]
+            vd = tables["ma_w_downsame"][mgi, li]
+            vu = tables["ma_w_upsame"][mgi, li]
+            vrec = tables["ma_w_radrecomb"][mgi, ci]
+            vdl = tables["ma_w_downlower"][mgi, ci]
+            out = jnp.where(k_proc == 3, vu,
+                            jnp.where(k_proc == 2, vd, vr))
+            out = jnp.where(k_proc == 4, vrec, out)
+            out = jnp.where(k_proc == 6, vdl, out)
+            return out
 
         base_w = jnp.where(span_s > 0, cumw(span_s - 1), 0.0)
         tot_w = cumw(span_e - 1) - base_w
@@ -399,12 +522,18 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         k_line = jnp.where(is_up, params.ma_bylo_perm[k_pos],
                            params.ma_byup_perm[k_pos])
         k_line = jnp.clip(k_line, 0, params.line_nu.shape[0] - 1)
+        k_cont = params.ma_bytarget_perm[
+            jnp.clip(k_pos, 0, params.ma_bytarget_perm.shape[0] - 1)]
+        k_cont = jnp.clip(k_cont, 0, params.cont_nu_edge.shape[0] - 1)
 
         # actions
         ma_rad = m_ma & ~ma_stuck & (k_proc == 0)
-        ma_col = m_ma & (ma_stuck | (k_proc == 1))
+        ma_col = m_ma & (ma_stuck | (k_proc == 1) | (k_proc == 5))
         ma_down = m_ma & ~ma_stuck & (k_proc == 2)
         ma_up_j = m_ma & ~ma_stuck & (k_proc == 3)
+        ma_radrec = m_ma & ~ma_stuck & (k_proc == 4)
+        ma_downlower = m_ma & ~ma_stuck & (k_proc == 6)
+        ma_uphigher = m_ma & ~ma_stuck & (k_proc == 7)
 
         # radiative deexcitation -> r-packet in the selected line
         # (do_macroatom_raddeexcitation, macroatom.cc:222-296)
@@ -417,15 +546,43 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
             em_time=pk.prop_time, next_trans=k_line + 1,
             nscatterings=jnp.int32(0))
-        # collisional deexcitation -> k-packet (macroatom.cc:689-757)
+        # radiative recombination -> r-packet at a continuum frequency
+        # (do_macroatom_radrecomb, macroatom.cc:298-380)
+        Te_ma = tables["Te"][mgi]
+        nu_rec = sample_recomb_nu(k_cont, Te_ma, u[:, 6], params)
+        upd(ma_radrec, ptype=TYPE_RPKT, nu_cmf=nu_rec,
+            nu_rf=nu_rec / dopp_ma, e_rf=pk.e_cmf / dopp_ma,
+            dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
+            em_time=pk.prop_time, next_trans=jnp.int32(-1),
+            nscatterings=jnp.int32(0))
+        # collisional deexcitation/recombination -> k-packet
+        # (macroatom.cc:689-757)
         upd(ma_col, ptype=TYPE_KPKT, next_trans=jnp.int32(-1))
-        # internal jumps
+        # internal jumps (same ion, lower ion, upper ion); count jumps
+        # within this activation for the resonance-trap guard
         upd(ma_down, ma_level=params.line_lower[k_line])
         upd(ma_up_j, ma_level=params.line_upper[k_line])
+        upd(ma_downlower, ma_level=params.cont_level[k_cont])
+        upd(m_ma & ~ma_rad & ~ma_col & ~ma_radrec,
+            nscatterings=pk.nscatterings + 1)
+        lc_idx = params.level_cont[lvl]
+        has_cont = lc_idx >= 0
+        up_target = params.cont_upperlevel[
+            jnp.clip(lc_idx, 0, params.cont_nu_edge.shape[0] - 1)]
+        upd(ma_uphigher & has_cont, ma_level=up_target)
+        # a level without a continuum cannot ionise; thermalise
+        upd(ma_uphigher & ~has_cont, ptype=TYPE_KPKT,
+            next_trans=jnp.int32(-1))
 
-        cnt["ma_deact_rad"] += mcount(ma_rad)
+        est_colheat = est["colheat"].at[mgi].add(
+            jnp.where(ma_col, pk.e_cmf, 0.0))
+        cnt["ma_deact_rad"] += mcount(ma_rad | ma_radrec)
         cnt["ma_deact_col"] += mcount(ma_col)
-        cnt["ma_jumps"] += mcount(ma_down | ma_up_j)
+        cnt["ma_jumps"] += mcount(ma_down | ma_up_j | ma_downlower
+                                  | ma_uphigher)
+
+    if not detailed:
+        est_colheat = est["colheat"]
 
     # =====================================================================
     # phase A3: k-packets. In grey/thick cells (and for pre-tmin
@@ -448,17 +605,52 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     if detailed:
         nmodel_k = tables["chi_grey"].shape[0] - 1
         in_det_cell = ~is_thick & (mgi < nmodel_k)
-        cool_ff = tables["kp_cool_ff"][mgi]
         nlines_k = tables["kp_w_collexc"].shape[1]
+        ncont_k = tables["kp_w_fb"].shape[1]
+        cool_ff = tables["kp_cool_ff"][mgi]
+        cool_fb = tables["kp_w_fb"][mgi, ncont_k - 1]
         cool_exc = tables["kp_w_collexc"][mgi, nlines_k - 1]
-        cool_tot = cool_ff + cool_exc
+        cool_ion = tables["kp_w_collion"][mgi, ncont_k - 1]
+        # second half of the resonance-trap guard (see phase A2b): a
+        # packet that burned its macro-atom jump budget must not be
+        # pumped back into the trap by collisional excitation, so its
+        # cooling channel is drawn from the radiative channels only
+        # (ff/fb) — the LTE source-function limit for a
+        # thermalisation-dominated region. Fresh k-packets are
+        # unaffected (the counter is reset on every radiative event).
+        kp_capped = pk.nscatterings >= 16
+        cool_exc_s = jnp.where(kp_capped, 0.0, cool_exc)
+        cool_ion_s = jnp.where(kp_capped, 0.0, cool_ion)
+        cool_tot = cool_ff + cool_fb + cool_exc_s + cool_ion_s
         m_kcool = (m_kpkt_all & (ptype_now == TYPE_KPKT) & in_det_cell
                    & (cool_tot > 0))
         m_kbb = m_kpkt_all & ~m_kcool
 
+        # cooling channel sampling (do_kpkt, kpkt.cc:518-851)
         ch = u[:, 3] * cool_tot
         k_ff = m_kcool & (ch < cool_ff)
-        k_exc = m_kcool & ~k_ff
+        k_fb = m_kcool & ~k_ff & (ch < cool_ff + cool_fb)
+        k_exc = m_kcool & ~k_ff & ~k_fb & (ch < cool_ff + cool_fb
+                                           + cool_exc_s)
+        k_ion = m_kcool & ~k_ff & ~k_fb & ~k_exc
+
+        def ksel(table, width, mask_u):
+            target_k = jnp.clip(u[:, 12], 0.0, 1.0) * (
+                table[mgi, width - 1])
+
+            def kbs_body(_, lohi):
+                lo_i, hi_i = lohi
+                mid = (lo_i + hi_i) // 2
+                below = table[mgi, jnp.clip(mid, 0, width - 1)] \
+                    < target_k
+                return (jnp.where(below, mid + 1, lo_i),
+                        jnp.where(below, hi_i, mid))
+
+            klo, _ = jax.lax.fori_loop(
+                0, 20, kbs_body,
+                (jnp.zeros_like(pk.cell),
+                 jnp.full_like(pk.cell, width - 1)))
+            return jnp.clip(klo, 0, width - 1)
 
         # ff emission: nu ~ exp(-h nu / k Te) (kpkt.cc:602-607)
         nu_ff = jnp.maximum(-jnp.float32(KB / H) * Te
@@ -468,25 +660,31 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             last_cross=geo.BOUNDARY_NONE, em_time=t_k,
             nscatterings=jnp.int32(0), next_trans=jnp.int32(-1))
 
-        # collisional excitation: select the line by binary search of
-        # the cumulative cooling row, activate the macro-atom in its
-        # upper level (kpkt.cc:696-760)
-        target_k = jnp.clip(u[:, 12], 0.0, 1.0) * cool_exc
+        # fb emission: select the continuum, sample nu from its
+        # recombination emissivity (kpkt.cc:612-695)
+        k_fb_cont = ksel(tables["kp_w_fb"], ncont_k, k_fb)
+        nu_fb = sample_recomb_nu(
+            jnp.clip(k_fb_cont, 0, params.cont_nu_edge.shape[0] - 1),
+            Te, u[:, 6], params)
+        upd(k_fb, ptype=TYPE_RPKT, nu_cmf=nu_fb, nu_rf=nu_fb / dopp_k,
+            e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
+            last_cross=geo.BOUNDARY_NONE, em_time=t_k,
+            nscatterings=jnp.int32(0), next_trans=jnp.int32(-1))
 
-        def kbs_body(_, lohi):
-            lo_i, hi_i = lohi
-            mid = (lo_i + hi_i) // 2
-            below = tables["kp_w_collexc"][
-                mgi, jnp.clip(mid, 0, nlines_k - 1)] < target_k
-            return (jnp.where(below, mid + 1, lo_i),
-                    jnp.where(below, hi_i, mid))
-
-        klo, khi = jax.lax.fori_loop(
-            0, 20, kbs_body,
-            (jnp.zeros_like(pk.cell), jnp.full_like(pk.cell,
-                                                    nlines_k - 1)))
-        k_sel = jnp.clip(klo, 0, params.line_upper.shape[0] - 1)
+        # collisional excitation: line -> macro-atom upper level
+        # (kpkt.cc:696-760)
+        k_sel = jnp.clip(ksel(tables["kp_w_collexc"], nlines_k, k_exc),
+                         0, params.line_upper.shape[0] - 1)
         upd(k_exc, ptype=TYPE_MA, ma_level=params.line_upper[k_sel],
+            next_trans=jnp.int32(-1))
+
+        # collisional ionisation: continuum -> macro-atom in the upper
+        # ion target level (kpkt.cc:762-820)
+        k_ion_cont = jnp.clip(
+            ksel(tables["kp_w_collion"], ncont_k, k_ion), 0,
+            params.cont_upperlevel.shape[0] - 1)
+        upd(k_ion, ptype=TYPE_MA,
+            ma_level=params.cont_upperlevel[k_ion_cont],
             next_trans=jnp.int32(-1))
     else:
         m_kbb = m_kpkt_all
@@ -495,7 +693,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     upd(m_kbb, ptype=TYPE_RPKT, nu_cmf=nu_pl, nu_rf=nu_pl / dopp_k,
         e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
         last_cross=geo.BOUNDARY_NONE, em_time=t_k,
-        nscatterings=jnp.int32(0), next_trans=jnp.int32(-1))
+        nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
+        stokes_q=jnp.float32(0.0), stokes_u=jnp.float32(0.0))
     m_kpkt = m_kpkt_all
     cnt["interactions"] += mcount(m_kpkt)
 
@@ -583,7 +782,18 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         kff = tables["kff_base"][mgi] * jnp.power(nu15, -3.0) \
             * (-jnp.expm1(-jnp.float32(H / KB) * pk.nu_cmf / Te_b))
         chi_th = tables["chi_thomson"][mgi]
-        chi_cont = jnp.maximum((chi_th + kff) * dopp_here, 1e-30)
+        # bound-free opacity from the per-cell frequency-binned table
+        # (replaces calculate_kappa_bf_gammacontr, rpkt.cc:1075-1207)
+        nbf_bins = tables["chi_bf"].shape[1]
+        bfbin = ((jnp.log(jnp.maximum(pk.nu_cmf, 1.0))
+                  - params.bf_lognu_min)
+                 / params.bf_dlognu).astype(jnp.int32)
+        chi_bf_v = jnp.where(
+            (bfbin >= 0) & (bfbin < nbf_bins),
+            tables["chi_bf"][mgi, jnp.clip(bfbin, 0, nbf_bins - 1)],
+            0.0)
+        chi_cont = jnp.maximum((chi_th + kff + chi_bf_v) * dopp_here,
+                               1e-30)
 
         dist_limit = jnp.minimum(sdist, tdist)
         WK_WALKING, WK_CONT, WK_BB, WK_LIMIT = 0, 1, 2, 3
@@ -594,9 +804,23 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             jc = jnp.clip(jw, 0, nlines - 1)
             nu_t = params.line_nu[jc]
             have_line = jw < nlines
-            ldist_j = jnp.where(
-                have_line,
-                t_b * (pk.nu_cmf / jnp.maximum(nu_t, 1.0) - 1.0), BIG)
+            if relativistic:
+                # exact SR resonance distance (closed form; c == 1 and
+                # v = r/t): with k = nu_line/nu_rf and mu r = dir.pos,
+                #   s = ((t - mu r)^2 / k^2 - (t^2 - r^2)) / (2(t-mu r))
+                # (replaces the reference's iterative tardis formula,
+                # rpkt.cc:123-136)
+                k_ratio = nu_t / jnp.maximum(pk.nu_rf, 1.0)
+                mu_r = geo.dot3(dir_b, pos_b)
+                r2 = geo.dot3(pos_b, pos_b)
+                tmr = jnp.maximum(t_b - mu_r, 1e-12)
+                ldist_raw = (tmr**2 / jnp.maximum(k_ratio, 1e-12) ** 2
+                             - (t_b**2 - r2)) / (2.0 * tmr)
+            else:
+                ldist_raw = t_b * (pk.nu_cmf / jnp.maximum(nu_t, 1.0)
+                                   - 1.0)
+            ldist_j = jnp.where(have_line, jnp.maximum(ldist_raw, 0.0),
+                                BIG)
             ldist_j = jnp.maximum(ldist_j, ldist_prev)
 
             # continuum event before the line / the limit?
@@ -661,6 +885,13 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     dJ = jnp.where(contrib_mask, dist * e_cmf_mid, 0.0)
     est_J = est["J"].at[mgi].add(dJ)
     est_nuJ = est["nuJ"].at[mgi].add(dJ * nu_cmf_mid)
+    if detailed:
+        # free-free heating estimator: distance * e_cmf * kappa_ff
+        # (update_estimators, rpkt.cc:578-582)
+        est_ffheat = est["ffheat"].at[mgi].add(
+            jnp.where(m_det, dJ * kff, 0.0))
+    else:
+        est_ffheat = est["ffheat"]
 
     # full move
     pos_n, t_n, nu_cmf_n, e_cmf_n, dopp_n = _move(
@@ -731,6 +962,9 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     gam_deposited = m_gam & (new["ptype"] != TYPE_GAMMA) \
         & (new["ptype"] != TYPE_ESCAPE)
     scal["gamma_dep"] += msum(gam_deposited, e_cmf_n)
+    dep_contrib = jnp.where(gam_deposited, e_cmf_n, 0.0) \
+        + jnp.where(m_nt | (m_particle & is_bplus), pk.e_cmf, 0.0)
+    est_dep = est["dep_cell"].at[mgi].add(dep_contrib)
 
     # r-packet thick-cell scattering (rpkt_event_thickcell,
     # rpkt.cc:491-509): coherent isotropic re-emission
@@ -754,20 +988,73 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # line's upper level (rpkt_event_boundbound, rpkt.cc:449-489)
         wl_c = jnp.clip(walk_line, 0, nlines - 1)
         upd(bb_hit, ptype=TYPE_MA, ma_level=params.line_upper[wl_c],
-            next_trans=wl_c + 1)
+            next_trans=wl_c + 1, nscatterings=jnp.int32(0))
         cnt["ma_activations"] += mcount(bb_hit)
         upd(line_pass, next_trans=j_new)
 
-        # continuum event: electron scatter vs free-free absorption
-        is_escat = u[:, 7] * chi_cont < chi_th * dopp_here
-        ev_escat = ev_cont & is_escat
-        ev_ff = ev_cont & ~is_escat
-        upd(ev_escat, dirvec=dir_r, nu_rf=nu_cmf_n / dopp_r,
-            e_rf=e_cmf_n / dopp_r, last_cross=geo.BOUNDARY_NONE,
-            nscatterings=pk.nscatterings + 1, em_time=t_n,
-            next_trans=j_new)
-        upd(ev_ff, ptype=TYPE_KPKT, next_trans=jnp.int32(-1))
+        # continuum event: electron scatter vs free-free vs bound-free
+        # (rpkt_event_continuum, rpkt.cc:330-447)
+        zc = u[:, 7] * chi_cont
+        ev_escat = ev_cont & (zc < chi_th * dopp_here)
+        ev_ff = ev_cont & ~ev_escat & (zc < (chi_th + kff) * dopp_here)
+        ev_bf = ev_cont & ~ev_escat & ~ev_ff
+        if polarization:
+            # polarised dipole scattering with Stokes tracking
+            # (escat_rpkt, polarization.cc:6-157)
+            from .polarization import escat_stokes
+            u_pol = packet_uniforms(base_key, pk.pkt_id, pk.rng_count,
+                                    salt=7, n=36)
+            dir_p, q_p, u_p, dopp_p = escat_stokes(
+                dir_b, pk.stokes_q, pk.stokes_u, pos_n, t_n, u_pol,
+                relativistic)
+            upd(ev_escat, dirvec=dir_p, nu_rf=nu_cmf_n / dopp_p,
+                e_rf=e_cmf_n / dopp_p, last_cross=geo.BOUNDARY_NONE,
+                nscatterings=pk.nscatterings + 1, em_time=t_n,
+                next_trans=j_new, stokes_q=q_p, stokes_u=u_p)
+        else:
+            upd(ev_escat, dirvec=dir_r, nu_rf=nu_cmf_n / dopp_r,
+                e_rf=e_cmf_n / dopp_r, last_cross=geo.BOUNDARY_NONE,
+                nscatterings=pk.nscatterings + 1, em_time=t_n,
+                next_trans=j_new)
+        upd(ev_ff, ptype=TYPE_KPKT, next_trans=jnp.int32(-1),
+            nscatterings=jnp.int32(0))
         cnt["escounter"] += mcount(ev_escat)
+
+        # bound-free absorption: select the continuum from the coarse
+        # per-(cell, nu-bin) cumulative weights, then activate the
+        # macro-atom in the upper ion with probability nu_edge/nu (the
+        # rest of the photon energy is thermal: -> k-packet)
+        # (rpkt.cc:398-447)
+        nsel = tables["bf_sel_cum"].shape[1]
+        ncont_b = tables["bf_sel_cum"].shape[2]
+        selbin = jnp.clip(
+            ((jnp.log(jnp.maximum(nu_cmf_n, 1.0)) - params.bf_lognu_min)
+             / params.bf_dlognu_sel).astype(jnp.int32), 0, nsel - 1)
+        row_tot = tables["bf_sel_cum"][mgi, selbin, ncont_b - 1]
+        bf_target = jnp.clip(u[:, 12], 0.0, 1.0) * row_tot
+
+        def bfs_body(_, lohi):
+            lo_i, hi_i = lohi
+            mid = (lo_i + hi_i) // 2
+            below = tables["bf_sel_cum"][
+                mgi, selbin, jnp.clip(mid, 0, ncont_b - 1)] < bf_target
+            return (jnp.where(below, mid + 1, lo_i),
+                    jnp.where(below, hi_i, mid))
+
+        bflo, _ = jax.lax.fori_loop(
+            0, 18, bfs_body,
+            (jnp.zeros_like(pk.cell), jnp.full_like(pk.cell,
+                                                    ncont_b - 1)))
+        bf_cont = jnp.clip(bflo, 0,
+                           params.cont_nu_edge.shape[0] - 1)
+        prob_ma_bf = params.cont_nu_edge[bf_cont] \
+            / jnp.maximum(nu_cmf_n, 1.0)
+        bf_to_ma = ev_bf & (u[:, 3] < prob_ma_bf)
+        upd(bf_to_ma, ptype=TYPE_MA,
+            ma_level=params.cont_upperlevel[bf_cont],
+            next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
+        upd(ev_bf & ~bf_to_ma, ptype=TYPE_KPKT,
+            next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
         n_line_pass = mcount(line_pass)
 
         # remember the candidate line index for packets that moved
@@ -798,6 +1085,9 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     est_out = dict(est)
     est_out["J"] = est_J
     est_out["nuJ"] = est_nuJ
+    est_out["dep_cell"] = est_dep
+    est_out["ffheat"] = est_ffheat
+    est_out["colheat"] = est_colheat
     for k, v in scal.items():
         est_out[k] = est[k] + v
     for k, v in cnt.items():
@@ -824,7 +1114,8 @@ def run_timestep_chunk(pk: PacketBatch, est: dict, tables: dict,
                        params: TransportParams, t2, nts_is_first,
                        base_key, chunk_iters=512, *, grid_type: str,
                        ncoord: int, relativistic: bool = False,
-                       detailed: bool = False):
+                       detailed: bool = False,
+                       polarization: bool = False):
     """Advance all packets by up to ``chunk_iters`` events towards the
     end of the timestep (sim time t2).
 
@@ -852,7 +1143,8 @@ def run_timestep_chunk(pk: PacketBatch, est: dict, tables: dict,
         p, est_c, it = carry
         p2, est2 = _event_step(p, est_c, tables, params, t2,
                                nts_is_first, base_key, grid_type,
-                               ncoord, relativistic, detailed)
+                               ncoord, relativistic, detailed,
+                               polarization)
         return (p2, est2, it + 1)
 
     pk_out, est_out, _ = jax.lax.while_loop(

@@ -1,0 +1,61 @@
+"""End-to-end detailed (opacity_case 4) simulation on the synthetic
+atomic dataset: full chain pellet -> gamma -> deposition -> k-packet
+cooling channels -> macro-atom line transfer -> escape."""
+
+import numpy as np
+import pytest
+
+from artis_tpu import SimConfig, Simulation, make_toy_1d_model
+from artis_tpu.atomic import make_synthetic_atomic_data
+from artis_tpu.packets import TYPE_ESCAPE, TYPE_RPKT, to_numpy
+
+
+@pytest.fixture(scope="module")
+def sim_done():
+    # num_grey_timesteps=2: the first two timesteps treat the (tau >>
+    # 10) inner cells grey like reference classic runs do, so detailed
+    # macro-atom transport is exercised at days ~8-13 where it is the
+    # physically dominant regime (and the test stays fast)
+    cfg = SimConfig(npkts=1500, ntimesteps=5, tmin_days=3.0,
+                    tmax_days=14.0, ftstep=5, opacity_case=4,
+                    grey_op=0.1, seed=23, num_grey_timesteps=2,
+                    cell_is_optically_thick=8.0,
+                    compact_min_size=64)
+    model = make_toy_1d_model(nshells=8, tmin=cfg.tmin)
+    ad = make_synthetic_atomic_data()
+    sim = Simulation(model, cfg, atomic_data=ad)
+    sim.run(checkpoint=False, verbose=False)
+    return sim
+
+
+def test_completes_and_processes_all(sim_done):
+    arr = to_numpy(sim_done.packets)
+    t_end = sim_done.units.time_to_sim(sim_done.ts.end(4))
+    done = (arr["ptype"] == TYPE_ESCAPE) | (arr["prop_time"]
+                                            >= t_end * (1 - 1e-5))
+    assert np.all(done)
+    for k in ("pos", "nu_cmf", "e_cmf"):
+        assert np.all(np.isfinite(arr[k])), k
+
+
+def test_macroatom_was_active(sim_done):
+    total_act = sum(d["ma_activations"] for d in sim_done.dep_log)
+    total_rad = sum(d["ma_deact_rad"] for d in sim_done.dep_log)
+    assert total_act > 0
+    assert total_rad > 0
+    # deactivations cannot exceed activations + kpkt-sourced MAs
+    assert total_rad <= total_act + sum(
+        d["ma_deact_col"] + d["ma_jumps"] for d in sim_done.dep_log)
+
+
+def test_nne_from_saha(sim_done):
+    g = sim_done.grid
+    assert np.all(g.nne[g.rho_init > 0] > 0)
+    # free nne cannot exceed the total electron density
+    assert np.all(g.nne <= g.nnetot * 1.001)
+
+
+def test_rpkt_spectrum_produced(sim_done):
+    spec = sim_done.build_spectra(TYPE_RPKT)
+    assert spec.lum.max() > 0
+    assert np.all(np.isfinite(spec.flux))

@@ -1,0 +1,57 @@
+"""Walltime-limited job steps + input-MD5 resume consistency
+(reference: sn3d.cc walltimelimitseconds handling, md5.cc)."""
+
+import numpy as np
+import pytest
+
+from artis_tpu import SimConfig, Simulation, make_toy_1d_model
+
+
+def _cfg(**kw):
+    base = dict(npkts=300, ntimesteps=4, tmin_days=2.0, tmax_days=10.0,
+                ftstep=4, opacity_case=0, seed=5)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_walltime_stop_and_resume(tmp_path):
+    cfg = _cfg()
+    model = make_toy_1d_model(nshells=8, mni56_msun=0.2, tmin=cfg.tmin)
+    out = str(tmp_path / "a")
+    sim = Simulation(model, cfg, out_dir=out)
+    # zero walltime: must stop after the first timestep with a
+    # checkpoint on disk, returning False
+    done = sim.run(walltime_limit_s=0.0, verbose=False)
+    assert done is False
+    assert sim.nts_done == 1
+    import os
+    cps = [f for f in os.listdir(out) if f.startswith("checkpoint_ts")]
+    assert cps
+
+    # a fresh job step resumes from the checkpoint and finishes
+    model2 = make_toy_1d_model(nshells=8, mni56_msun=0.2, tmin=cfg.tmin)
+    sim2 = Simulation(model2, cfg, out_dir=out)
+    sim2.load_checkpoint(
+        max((str(tmp_path / "a" / f) for f in cps),
+            key=lambda p: int(p.split("_ts")[1].split(".")[0])))
+    assert sim2.nts_done == 1
+    done2 = sim2.run(verbose=False, checkpoint=False)
+    assert done2 is True
+    assert sim2.nts_done == 4
+
+
+def test_md5_mismatch_rejected(tmp_path):
+    cfg = _cfg()
+    model = make_toy_1d_model(nshells=8, mni56_msun=0.2, tmin=cfg.tmin)
+    out = str(tmp_path / "b")
+    sim = Simulation(model, cfg, out_dir=out)
+    sim.run(until=1, verbose=False, checkpoint=False)
+    sim.save_checkpoint(1)
+
+    # different model (Ni mass changed) => resume must be refused
+    model_other = make_toy_1d_model(nshells=8, mni56_msun=0.4,
+                                    tmin=cfg.tmin)
+    sim_other = Simulation(model_other, cfg, out_dir=out)
+    with pytest.raises(ValueError, match="md5"):
+        sim_other.load_checkpoint(str(tmp_path / "b"
+                                      / "checkpoint_ts1.npz"))

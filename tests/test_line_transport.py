@@ -39,6 +39,18 @@ def make_params(line_nu=(), taufac=(), nlevels=2, **kw):
         ma_up_start=jnp.asarray([0] * nlevels + [n], jnp.int32),
         ma_bylo_perm=jnp.arange(n, dtype=jnp.int32),
         ma_lo_start=jnp.asarray([0] + [n] * nlevels, jnp.int32),
+        ma_bytarget_perm=jnp.zeros(1, jnp.int32),
+        ma_target_start=jnp.zeros(nlevels + 1, jnp.int32),
+        nt_target_level=jnp.full(1, -1, jnp.int32),
+        level_cont=jnp.full(nlevels, -1, jnp.int32),
+        cont_nu_edge=jnp.zeros(1, f32),
+        cont_level=jnp.zeros(1, jnp.int32),
+        cont_upperlevel=jnp.zeros(1, jnp.int32),
+        cont_sigma=jnp.zeros((1, 2), f32),
+        cont_nuinc=f32(0.1),
+        bf_lognu_min=f32(np.log(1e13)),
+        bf_dlognu=f32((np.log(5e15) - np.log(1e13)) / 1024),
+        bf_dlognu_sel=f32((np.log(5e15) - np.log(1e13)) / 128),
         planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
         kpkt_diffusion_dt=f32(0.0),
     )
@@ -55,12 +67,20 @@ def make_tables(ncells=1, rmax=0.1, chi_thomson=0.0, kff_base=0.0,
     r_edges = np.linspace(0, rmax, ncells + 1)
     pops = np.zeros((nm + 1, nlevels), np.float32)
     pops[:nm, 0] = levelpop
-    proc = np.zeros((nm + 1, nlevels, 4), np.float32)
+    proc = np.zeros((nm + 1, nlevels, 8), np.float32)
     proc[:, :, :] = 1.0  # cumulative: raddeexc only
     wrow = np.ones((nm + 1, max(nlines, 1)), np.float32).cumsum(axis=1)
     return {
+        "nt_frac_ion": jnp.zeros(nm + 1, jnp.float32),
+        "nt_ion_cum": jnp.zeros((nm + 1, 1), jnp.float32),
         "kp_cool_ff": jnp.zeros(nm + 1, jnp.float32),
         "kp_w_collexc": jnp.zeros((nm + 1, max(nlines, 1)), jnp.float32),
+        "kp_w_fb": jnp.zeros((nm + 1, 1), jnp.float32),
+        "kp_w_collion": jnp.zeros((nm + 1, 1), jnp.float32),
+        "chi_bf": jnp.zeros((nm + 1, 1), jnp.float32),
+        "bf_sel_cum": jnp.zeros((nm + 1, 1, 1), jnp.float32),
+        "ma_w_radrecomb": jnp.zeros((nm + 1, 1), jnp.float32),
+        "ma_w_downlower": jnp.zeros((nm + 1, 1), jnp.float32),
         "ma_proc_cum": jnp.asarray(proc),
         "ma_w_raddeexc": jnp.asarray(wrow),
         "ma_w_downsame": jnp.asarray(wrow),
@@ -101,6 +121,7 @@ def make_rpkts(n, r0=0.02, nu_cmf=6e14, t0=1.0, seed=1):
         nscatterings=i32(0), interactions=i32(0),
         rng_count=i32(0), pkt_id=jnp.arange(n, dtype=jnp.int32),
         nu_decay=f32(0.0), next_trans=i32(-1), ma_level=i32(0),
+        stokes_q=f32(0.0), stokes_u=f32(0.0),
     )
 
 

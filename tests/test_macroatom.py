@@ -102,13 +102,25 @@ def test_fluorescence_branching():
         ma_up_start=jnp.asarray([0, 0, 0, 2], jnp.int32),
         ma_bylo_perm=jnp.asarray([0, 1], jnp.int32),
         ma_lo_start=jnp.asarray([0, 1, 2, 2], jnp.int32),
+        ma_bytarget_perm=jnp.zeros(1, jnp.int32),
+        ma_target_start=jnp.zeros(4, jnp.int32),
+        nt_target_level=jnp.full(1, -1, jnp.int32),
+        level_cont=jnp.full(3, -1, jnp.int32),
+        cont_nu_edge=jnp.zeros(1, f32),
+        cont_level=jnp.zeros(1, jnp.int32),
+        cont_upperlevel=jnp.zeros(1, jnp.int32),
+        cont_sigma=jnp.zeros((1, 2), f32),
+        cont_nuinc=f32(0.1),
+        bf_lognu_min=f32(np.log(1e13)),
+        bf_dlognu=f32((np.log(5e15) - np.log(1e13)) / 1024),
+        bf_dlognu_sel=f32((np.log(5e15) - np.log(1e13)) / 128),
         planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
         kpkt_diffusion_dt=f32(0.0),
     )
     tables = make_tables(ncells=1, rmax=0.2, levelpop=1.0,
                          nlevels=nlevels, nlines=nlines)
     # macro-atom: level 2 deactivates radiatively with channel weights
-    proc = np.zeros((2, nlevels, 4), np.float32)
+    proc = np.zeros((2, nlevels, 8), np.float32)
     proc[:, :, :] = 1.0
     tables["ma_proc_cum"] = jnp.asarray(proc)
     wrow = np.tile(np.cumsum([w0, w1]).astype(np.float32), (2, 1))
@@ -156,6 +168,18 @@ def test_ma_internal_jump_cascade():
         ma_up_start=jnp.asarray([0, 0, 0, 2], jnp.int32),
         ma_bylo_perm=jnp.asarray([0, 1], jnp.int32),
         ma_lo_start=jnp.asarray([0, 1, 2, 2], jnp.int32),
+        ma_bytarget_perm=jnp.zeros(1, jnp.int32),
+        ma_target_start=jnp.zeros(4, jnp.int32),
+        nt_target_level=jnp.full(1, -1, jnp.int32),
+        level_cont=jnp.full(3, -1, jnp.int32),
+        cont_nu_edge=jnp.zeros(1, f32),
+        cont_level=jnp.zeros(1, jnp.int32),
+        cont_upperlevel=jnp.zeros(1, jnp.int32),
+        cont_sigma=jnp.zeros((1, 2), f32),
+        cont_nuinc=f32(0.1),
+        bf_lognu_min=f32(np.log(1e13)),
+        bf_dlognu=f32((np.log(5e15) - np.log(1e13)) / 1024),
+        bf_dlognu_sel=f32((np.log(5e15) - np.log(1e13)) / 128),
         planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
         kpkt_diffusion_dt=f32(0.0),
     )
@@ -165,8 +189,8 @@ def test_ma_internal_jump_cascade():
     # level 2: 100% DOWNSAME via line 1 (2->1); level 1: stuck ->
     # k-packet (no downward lines); so every absorbed packet must
     # thermalise via the collisional fallback
-    proc = np.zeros((2, nlevels, 4), np.float32)
-    proc[:, 2] = [0.0, 0.0, 1.0, 1.0]  # downsame only
+    proc = np.zeros((2, nlevels, 8), np.float32)
+    proc[:, 2] = [0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]  # downsame
     tables["ma_proc_cum"] = jnp.asarray(proc)
     # downsame selection: only line 1 (2->1) has weight
     wdown = np.tile(np.cumsum([0.0, 1.0]).astype(np.float32), (2, 1))

@@ -1,0 +1,53 @@
+"""Nebular one-zone-style end-to-end test: detailed transport with the
+Spencer-Fano non-thermal solver and thermal-balance temperatures — the
+analogue of the reference's nebularonezone CI configuration."""
+
+import numpy as np
+import pytest
+
+from artis_tpu import SimConfig, Simulation, make_toy_1d_model
+from artis_tpu.atomic import make_synthetic_atomic_data
+from artis_tpu.packets import TYPE_ESCAPE, to_numpy
+
+
+@pytest.fixture(scope="module")
+def sim_done():
+    cfg = SimConfig(npkts=1200, ntimesteps=4, tmin_days=80.0,
+                    tmax_days=200.0, ftstep=4, opacity_case=4,
+                    seed=31, num_grey_timesteps=0, num_lte_timesteps=1,
+                    nonthermal_on=True, sf_points=256,
+                    compact_min_size=64)
+    # late-time, low-density ejecta: nebular conditions
+    model = make_toy_1d_model(nshells=4, mtot_msun=0.6,
+                              mni56_msun=0.5, tmin=cfg.tmin)
+    ad = make_synthetic_atomic_data()
+    sim = Simulation(model, cfg, atomic_data=ad)
+    sim.run(checkpoint=False, verbose=False)
+    return sim
+
+
+def test_completes(sim_done):
+    arr = to_numpy(sim_done.packets)
+    t_end = sim_done.units.time_to_sim(sim_done.ts.end(3))
+    done = (arr["ptype"] == TYPE_ESCAPE) | (arr["prop_time"]
+                                            >= t_end * (1 - 1e-5))
+    assert np.all(done)
+
+
+def test_sf_solution_available(sim_done):
+    sol = sim_done.sf_solution
+    s = sol.frac_heating + sol.frac_ionization + sol.frac_excitation
+    nz = sim_done.grid.rho_init > 0
+    np.testing.assert_allclose(s[nz], 1.0, atol=1e-6)
+    # at nebular epochs a meaningful fraction ionises
+    assert np.any(sol.frac_ionization[nz] > 0.005)
+
+
+def test_thermal_balance_te(sim_done):
+    g = sim_done.grid
+    nz = g.rho_init > 0
+    cfg = sim_done.cfg
+    assert np.all(g.Te[nz] >= cfg.mintemp)
+    assert np.all(g.Te[nz] <= cfg.maxtemp)
+    # dilute radiation field: W < 1 at late times
+    assert np.all(g.W[nz] < 1.5)
