@@ -204,6 +204,32 @@ def sigma_pairprod_cgs(nu_cmf, rho, ffegrp, gamma_grey):
 # thermal (Planck) frequency sampling
 # ---------------------------------------------------------------------------
 
+def searchsorted_cmp(xs, q, side: str = "left"):
+    """TPU-fast searchsorted on a small sorted table: a broadcast
+    compare + row reduction (fuses on the VPU) instead of
+    jnp.searchsorted's sequential scan, which costs ~8 ms per call at
+    megabatch sizes inside a while_loop on TPU."""
+    if side == "left":
+        return jnp.sum((xs[None, :] < q[:, None]).astype(jnp.int32),
+                       axis=1)
+    return jnp.sum((xs[None, :] <= q[:, None]).astype(jnp.int32),
+                   axis=1)
+
+
+def interp_cmp(xq, xs, ys):
+    """Linear interpolation of monotone table (xs, ys) at xq via
+    compare-reduce indexing (see searchsorted_cmp); gathers from small
+    tables are cheap on TPU, the scan-based searchsorted is not."""
+    j = jnp.clip(searchsorted_cmp(xs, xq, "right"), 1,
+                 xs.shape[0] - 1)
+    x0 = xs[j - 1]
+    x1 = xs[j]
+    y0 = ys[j - 1]
+    y1 = ys[j]
+    w = jnp.clip((xq - x0) / jnp.maximum(x1 - x0, 1e-30), 0.0, 1.0)
+    return y0 + w * (y1 - y0)
+
+
 def sample_planck_nu(u, T, params: TransportParams):
     """Inverse-CDF Planck sample restricted to [nu_min_r, nu_max_r]
     (replaces sample_planck, kpkt.cc:428-446)."""
@@ -211,11 +237,11 @@ def sample_planck_nu(u, T, params: TransportParams):
     Tsafe = jnp.maximum(T, 1.0)
     x_lo = H * params.nu_min_r / (KB * Tsafe)
     x_hi = H * params.nu_max_r / (KB * Tsafe)
-    c_lo = jnp.interp(x_lo, xs, cdf)
-    c_hi = jnp.interp(x_hi, xs, cdf)
+    c_lo = interp_cmp(x_lo, xs, cdf)
+    c_hi = interp_cmp(x_hi, xs, cdf)
     target = c_lo + u * (c_hi - c_lo)
     # invert the CDF (monotone): interp target on (cdf -> log x)
-    logx = jnp.interp(target, cdf, jnp.log(xs))
+    logx = interp_cmp(target, cdf, jnp.log(xs))
     nu = jnp.exp(logx) * KB * Tsafe / H
     return jnp.clip(nu, params.nu_min_r, params.nu_max_r)
 
@@ -574,15 +600,14 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(ma_uphigher & ~has_cont, ptype=TYPE_KPKT,
             next_trans=jnp.int32(-1))
 
-        est_colheat = est["colheat"].at[mgi].add(
-            jnp.where(ma_col, pk.e_cmf, 0.0))
+        colheat_contrib = jnp.where(ma_col, pk.e_cmf, 0.0)
         cnt["ma_deact_rad"] += mcount(ma_rad | ma_radrec)
         cnt["ma_deact_col"] += mcount(ma_col)
         cnt["ma_jumps"] += mcount(ma_down | ma_up_j | ma_downlower
                                   | ma_uphigher)
 
     if not detailed:
-        est_colheat = est["colheat"]
+        colheat_contrib = jnp.float32(0.0) * pk.e_cmf
 
     # =====================================================================
     # phase A3: k-packets. In grey/thick cells (and for pre-tmin
@@ -771,8 +796,11 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
         # next candidate line (closest_transition, rpkt.cc:26-65):
         # trust the stored index; re-sync by binary search when flagged
-        j_sync = jnp.searchsorted(-params.line_nu, -pk.nu_cmf,
-                                  side="left").astype(jnp.int32)
+        # first line with nu < nu_cmf in the descending-nu line list:
+        # count lines above (compare-reduce; see searchsorted_cmp)
+        j_sync = jnp.sum((params.line_nu[None, :]
+                          > pk.nu_cmf[:, None]).astype(jnp.int32),
+                         axis=1)
         j0 = jnp.where(pk.next_trans >= 0, pk.next_trans, j_sync)
 
         # continuum opacity: Thomson + free-free (calculate_kappa_ff,
@@ -883,15 +911,12 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     nu_cmf_mid = pk.nu_rf * dopp_mid
     contrib_mask = m_rpkt & ~is_empty
     dJ = jnp.where(contrib_mask, dist * e_cmf_mid, 0.0)
-    est_J = est["J"].at[mgi].add(dJ)
-    est_nuJ = est["nuJ"].at[mgi].add(dJ * nu_cmf_mid)
     if detailed:
         # free-free heating estimator: distance * e_cmf * kappa_ff
         # (update_estimators, rpkt.cc:578-582)
-        est_ffheat = est["ffheat"].at[mgi].add(
-            jnp.where(m_det, dJ * kff, 0.0))
+        ffheat_contrib = jnp.where(m_det, dJ * kff, 0.0)
     else:
-        est_ffheat = est["ffheat"]
+        ffheat_contrib = jnp.float32(0.0) * dJ
 
     # full move
     pos_n, t_n, nu_cmf_n, e_cmf_n, dopp_n = _move(
@@ -964,7 +989,20 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     scal["gamma_dep"] += msum(gam_deposited, e_cmf_n)
     dep_contrib = jnp.where(gam_deposited, e_cmf_n, 0.0) \
         + jnp.where(m_nt | (m_particle & is_bplus), pk.e_cmf, 0.0)
-    est_dep = est["dep_cell"].at[mgi].add(dep_contrib)
+
+    # single fused scatter for all per-cell estimators: TPU scatters
+    # cost ~1 ms each at megabatch size inside the event loop, so the
+    # five estimator columns go through one scatter of [N, 5] rows
+    cell_contrib = jnp.stack(
+        [dJ, dJ * nu_cmf_mid, ffheat_contrib, colheat_contrib,
+         dep_contrib], axis=1)
+    cell_acc = jnp.zeros((est["J"].shape[0], 5), jnp.float32) \
+        .at[mgi].add(cell_contrib)
+    est_J = est["J"] + cell_acc[:, 0]
+    est_nuJ = est["nuJ"] + cell_acc[:, 1]
+    est_ffheat = est["ffheat"] + cell_acc[:, 2]
+    est_colheat = est["colheat"] + cell_acc[:, 3]
+    est_dep = est["dep_cell"] + cell_acc[:, 4]
 
     # r-packet thick-cell scattering (rpkt_event_thickcell,
     # rpkt.cc:491-509): coherent isotropic re-emission

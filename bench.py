@@ -27,7 +27,8 @@ import numpy as np
 
 # measured on the 4-vCPU host with the same workload (npkts=200k,
 # 24 shells, timesteps 1-3); see tools/measure_cpu_baseline.py
-BENCH_BASELINE_CPU_EVENTS_PER_S = 3.0e6
+# (2026-08-17: 493,631 events/s, events=107,959,770, 218.7 s)
+BENCH_BASELINE_CPU_EVENTS_PER_S = 4.936e5
 
 
 def run_bench():

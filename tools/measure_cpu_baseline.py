@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+# jax may be pre-imported in this environment; env vars alone are too
+# late then — update the live config as well
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
 
 def main():
     from artis_tpu import SimConfig, Simulation, make_toy_1d_model
