@@ -65,6 +65,10 @@ class SimConfig:
     # Spencer-Fano non-thermal electron solver (NT_ON; requires
     # opacity_case 4). When off, all deposition thermalises.
     nonthermal_on: bool = False
+    # NLTE level populations (statistical-equilibrium rate matrix per
+    # element, nltepop.cc analogue). Applies after num_lte_timesteps;
+    # requires opacity_case 4.
+    nlte_pops_on: bool = False
     # polarised electron scattering (Stokes Q/U tracking; Bulla+2015)
     polarization_on: bool = False
     sf_points: int = 384  # Spencer-Fano energy grid size (SFPTS)

@@ -41,6 +41,7 @@ from .plasma import lte as lte_mod
 from .plasma import thermal as thermal_mod
 from .plasma.lte_case4 import compute_case4_state, update_thick_flags
 from .plasma import macroatom as ma_mod
+from .plasma import nltepop as nltepop_mod
 from .plasma import photoion as photoion_mod
 from .phixs import PhixsData, make_hydrogenic_phixs
 from .rng import make_base_key
@@ -92,13 +93,7 @@ class Simulation:
         self.base_key = make_base_key(cfg.seed)
         self._grid_static = ("spherical" if model.ndim == 1 else "uniform",
                              self.grid.ncoordgrid[0])
-        self._step_fn = jax.jit(
-            partial(run_timestep_chunk,
-                    grid_type=self._grid_static[0],
-                    ncoord=self._grid_static[1],
-                    relativistic=cfg.use_relativistic_doppler,
-                    detailed=self.detailed,
-                    polarization=cfg.polarization_on))
+        self._step_fn = self._make_step_fn()
         # events per device call; adapted at runtime to keep single
         # executions in a healthy wall-time band (traced, so changing
         # it does not recompile). The initial value scales inversely
@@ -112,6 +107,36 @@ class Simulation:
         self.est_J_prev: Optional[np.ndarray] = None
         self.est_prev: Optional[dict] = None
         self.deltat_prev: float = 0.0
+
+    def _make_step_fn(self):
+        cfg = self.cfg
+        return jax.jit(
+            partial(run_timestep_chunk,
+                    grid_type=self._grid_static[0],
+                    ncoord=self._grid_static[1],
+                    relativistic=cfg.use_relativistic_doppler,
+                    detailed=self.detailed,
+                    polarization=cfg.polarization_on))
+
+    def _device_recover(self):
+        """Reset the JAX backend after a device/worker crash and
+        recreate everything that lived on device. The reference's
+        resilience mechanism is job-step restart from checkpoint
+        (sn3d.cc:420-451); on the single-chip tunnel a worker restart
+        is recoverable in-process from the host-side snapshots the
+        chunk loop keeps."""
+        try:
+            jax.clear_caches()
+        except Exception:
+            pass
+        try:
+            import jax.extend.backend as _jeb
+            _jeb.clear_backends()
+        except Exception:
+            pass
+        self.params = self._build_params()
+        self.base_key = make_base_key(self.cfg.seed)
+        self._step_fn = self._make_step_fn()
 
     # -- setup --------------------------------------------------------
     def _init_packets(self) -> tuple[PacketBatch, float]:
@@ -219,13 +244,32 @@ class Simulation:
             g = self.grid
             levelpops, kff_base, pops = compute_case4_state(
                 g, self.atomic_data, self.units)
-            tables = grid_device_tables(g, self.cfg, self.units,
-                                        levelpops=levelpops,
-                                        kff_base=kff_base)
             t_mid_s = tmid if tmid is not None else float(self.ts.mid[0])
             ph = self.phixs
             pirates = photoion_mod.compute_rates(
                 self.atomic_data, ph, g.Te, g.TR, g.W, g.nne)
+            if (self.cfg.nlte_pops_on
+                    and self.nts_done >= self.cfg.num_lte_timesteps):
+                # statistical-equilibrium populations replace the
+                # Saha/Boltzmann set (solve_nlte_pops_element,
+                # nltepop.cc:798; called from solve_Te_nltepops,
+                # update_grid.cc:832-850)
+                nd = lte_mod.elem_numberdens_from_massfracs(
+                    self.atomic_data, g.rho, g.elem_abund)
+                nl_nlte = nltepop_mod.solve_nlte_pops(
+                    self.atomic_data, ph, pirates,
+                    levelpops.astype(np.float64), nd, g.Te, g.TR,
+                    g.W, g.nne, t_mid_s)
+                self.nlte_levelpops = nl_nlte
+                self.lte_levelpops = levelpops.astype(np.float64)
+                g.nne = np.where(
+                    g.rho_init > 0,
+                    nltepop_mod.nne_from_levelpops(self.atomic_data,
+                                                   nl_nlte), 0.0)
+                levelpops = nl_nlte.astype(np.float32)
+            tables = grid_device_tables(g, self.cfg, self.units,
+                                        levelpops=levelpops,
+                                        kff_base=kff_base)
             mats = ma_mod.build_tables(
                 self.atomic_data, self._ma_static, levelpops,
                 g.Te, g.TR, g.W, g.nne, t_mid_s, ph=ph,
@@ -388,13 +432,48 @@ class Simulation:
         iters_done = 0
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
         t2_f32 = jnp.float32(t2_sim)
+        # host-side snapshot for in-process recovery from a device /
+        # tunnel worker crash (taken after every successful chunk;
+        # ~10 ms for a megabatch, negligible next to a chunk)
+        snap = None
+        snap_stack: list[tuple[dict, np.ndarray]] = []
+        crash_retries = 0
         while True:
             t_chunk = _time.time()
-            pk, est, n_active = self._step_fn(
-                pk, est, tables, self.params, t2_f32, nts == 0,
-                self.base_key, jnp.int32(self._chunk_iters))
-            chunks += 1
-            n_act = int(n_active)  # also syncs the device
+            try:
+                pk, est, n_active = self._step_fn(
+                    pk, est, tables, self.params, t2_f32, nts == 0,
+                    self.base_key, jnp.int32(self._chunk_iters))
+                chunks += 1
+                n_act = int(n_active)  # also syncs the device
+            except jax.errors.JaxRuntimeError as err:
+                crash_retries += 1
+                if crash_retries > 3 or "UNAVAILABLE" not in str(err):
+                    raise
+                print(f"  [ts {nts}] device crash "
+                      f"({str(err).splitlines()[0][:100]}); "
+                      f"recovering ({crash_retries}/3)", flush=True)
+                _time.sleep(15.0)
+                self._device_recover()
+                tables = self._tables(tmid)
+                t2_f32 = jnp.float32(t2_sim)
+                if snap is None:
+                    pk = from_numpy(to_numpy(self.packets))
+                    est = zero_estimators(self.grid.nmodel)
+                    compact_stack, snap_stack = [], []
+                else:
+                    pk = from_numpy(snap[0])
+                    est = {k: jnp.asarray(v) for k, v in snap[1].items()}
+                    compact_stack = [(from_numpy(p), jnp.asarray(i))
+                                     for p, i in snap_stack]
+                continue
+            # stack entries are immutable once pushed: snapshot only
+            # the new ones
+            while len(snap_stack) < len(compact_stack):
+                p, i = compact_stack[len(snap_stack)]
+                snap_stack.append((to_numpy(p), np.asarray(i)))
+            snap = (to_numpy(pk),
+                    {k: np.asarray(v) for k, v in est.items()})
             dt_chunk = _time.time() - t_chunk
             iters_done += self._chunk_iters
             # keep device executions in a 5..45 s band
@@ -627,6 +706,13 @@ class Simulation:
             os.path.join(out, "gamma_spec.out"), spec_g)
         with open(os.path.join(out, "deposition.json"), "w") as f:
             json.dump(self.dep_log, f, indent=1)
+        if getattr(self, "nlte_levelpops", None) is not None:
+            from .output import write_nlte_pops_file
+            write_nlte_pops_file(
+                os.path.join(out, "nlte_pops.out"), self.atomic_data,
+                self.nlte_levelpops,
+                getattr(self, "lte_levelpops", None),
+                self.nts_done - 1, self.ts)
         if self.cfg.polarization_on:
             esc = spectra_mod.select_escaped(self.escaped_arrays_cgs(),
                                              11)

@@ -70,6 +70,34 @@ def write_deposition_file(path: str, dep_log: list[dict],
                     f"{d['alpha_dep_Lsun']:.5e} {total:.5e}\n")
 
 
+def write_nlte_pops_file(path: str, ad, nlte_levelpops: np.ndarray,
+                         lte_levelpops: Optional[np.ndarray], nts: int,
+                         ts: TimestepGrid, append: bool = False):
+    """nlte_pops.out analogue (nltepop_write_to_file,
+    nltepop.cc:1572-1634): one row per (cell, level) with the NLTE
+    population and the departure from the LTE value."""
+    tdays = ts.mid[nts] / DAY
+    mode = "a" if append else "w"
+    with open(path, mode) as f:
+        if not append:
+            f.write("#timestep tdays modelgridindex Z ionstage level "
+                    "n_NLTE n_LTE departure\n")
+        ncells = nlte_levelpops.shape[0]
+        for mgi in range(ncells):
+            for i in range(ad.nions_total):
+                z = ad.elem_z[ad.ion_element[i]]
+                stage = ad.ion_stage[i]
+                s, e = ad.ion_level_start[i], ad.ion_level_start[i + 1]
+                for lvl in range(e - s):
+                    n_nlte = nlte_levelpops[mgi, s + lvl]
+                    n_lte = (lte_levelpops[mgi, s + lvl]
+                             if lte_levelpops is not None else 0.0)
+                    dep = n_nlte / n_lte if n_lte > 0 else 0.0
+                    f.write(f"{nts} {tdays:.4f} {mgi} {z} {stage} "
+                            f"{lvl} {n_nlte:.6e} {n_lte:.6e} "
+                            f"{dep:.6e}\n")
+
+
 def write_packets_file(path: str, arrays_cgs: dict[str, np.ndarray],
                        extra: Optional[dict] = None):
     """packets00_XXXX.out-style text dump (write_packets,

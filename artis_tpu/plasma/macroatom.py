@@ -100,23 +100,20 @@ def _planck_Jnu(nu, T, W):
     return W * np.where(np.isfinite(b), b, 0.0)
 
 
-def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
-                 levelpops: np.ndarray, Te: np.ndarray, TR: np.ndarray,
-                 W: np.ndarray, nne: np.ndarray, t_mid: float,
-                 ph=None, pirates=None):
-    """Per-timestep macro-atom tables for all cells.
+def bound_bound_rates(ad: AtomicData, levelpops: np.ndarray,
+                      Te: np.ndarray, TR: np.ndarray, W: np.ndarray,
+                      nne: np.ndarray, t_mid: float) -> dict:
+    """Per-(cell, line) bound-bound process rates, shared between the
+    macro-atom tables and the NLTE rate matrix (the reference computes
+    the same four quantities in both macroatom.cc:922-1062 and the
+    nltepop matrix builders nltepop.cc:421-470).
 
-    Returns dict (numpy float32):
-      proc_cum     [ncells, nlevels, 4] cumulative process-rate sums
-      w_raddeexc   [ncells, nlines] cumulative R*eps_trans in by-upper
-                   line order (restricted sums per level span)
-      w_downsame   [ncells, nlines] cumulative (R+C)*eps_lower
-      w_upsame     [ncells, nlines] cumulative (R_exc+C_exc)*eps_cur
-                   in by-lower order
+    Returns dict of [ncells, nlines] float64 arrays:
+      R_deexc  radiative deexcitation rate per upper-level atom [1/s]
+      R_exc    radiative excitation rate per lower-level atom [1/s]
+      C_deexc  collisional deexcitation per upper atom [1/s]
+      C_exc    collisional excitation per lower atom [1/s]
     """
-    ncells = levelpops.shape[0]
-    nlines = ad.nlines
-
     Te = np.maximum(np.asarray(Te, dtype=np.float64), 1.0)[:, None]
     nne_c = np.asarray(nne, dtype=np.float64)[:, None]
     nl = np.asarray(levelpops, dtype=np.float64)
@@ -127,12 +124,6 @@ def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
     g_l = ad.level_g[lo][None, :]
     g_u = ad.level_g[up][None, :]
     eps_trans = (ad.level_energy[up] - ad.level_energy[lo])[None, :]
-
-    # the MA weights use the absolute epsilon including ionisation
-    # offsets (epsilon(), macroatom.cc:76-83)
-    eps_abs = ad.level_energy
-    eps_lo_abs = eps_abs[lo][None, :]
-    eps_cur_lo = eps_abs[lo][None, :]  # for upsame, current = lower
 
     n_l = nl[:, lo]
     n_u = nl[:, up]
@@ -185,6 +176,42 @@ def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
     C_deexc = np.where(cs >= 0, cs_deexc,
                        np.where(forb, axel_deexc, vr_deexc))
     C_exc = np.where(cs >= 0, cs_exc, np.where(forb, axel_exc, vr_exc))
+    return {"R_deexc": R_deexc, "R_exc": R_exc,
+            "C_deexc": C_deexc, "C_exc": C_exc}
+
+
+def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
+                 levelpops: np.ndarray, Te: np.ndarray, TR: np.ndarray,
+                 W: np.ndarray, nne: np.ndarray, t_mid: float,
+                 ph=None, pirates=None):
+    """Per-timestep macro-atom tables for all cells.
+
+    Returns dict (numpy float32):
+      proc_cum     [ncells, nlevels, 4] cumulative process-rate sums
+      w_raddeexc   [ncells, nlines] cumulative R*eps_trans in by-upper
+                   line order (restricted sums per level span)
+      w_downsame   [ncells, nlines] cumulative (R+C)*eps_lower
+      w_upsame     [ncells, nlines] cumulative (R_exc+C_exc)*eps_cur
+                   in by-lower order
+    """
+    ncells = levelpops.shape[0]
+    nlines = ad.nlines
+    nl = np.asarray(levelpops, dtype=np.float64)
+
+    lo, up = ad.line_lower, ad.line_upper
+    eps_trans = (ad.level_energy[up] - ad.level_energy[lo])[None, :]
+
+    # the MA weights use the absolute epsilon including ionisation
+    # offsets (epsilon(), macroatom.cc:76-83)
+    eps_abs = ad.level_energy
+    eps_lo_abs = eps_abs[lo][None, :]
+    eps_cur_lo = eps_abs[lo][None, :]  # for upsame, current = lower
+
+    n_l = nl[:, lo]
+
+    bb = bound_bound_rates(ad, levelpops, Te, TR, W, nne, t_mid)
+    R_deexc, R_exc = bb["R_deexc"], bb["R_exc"]
+    C_deexc, C_exc = bb["C_deexc"], bb["C_exc"]
 
     # per-line weights
     w_rad = R_deexc * eps_trans

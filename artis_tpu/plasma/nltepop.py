@@ -1,0 +1,172 @@
+"""NLTE level populations: per-element statistical-equilibrium rate
+matrix, solved for all cells at once.
+
+Rebuild of the reference's NLTE population solver (reference:
+nltepop.cc — matrix builders nltepop.cc:421-592, per-element solve
+``solve_nlte_pops_element`` nltepop.cc:798, LU solve with refinement
+``nltepop_matrix_solve`` nltepop.cc:679) redesigned for the TPU-native
+framework:
+
+* one dense rate matrix per (cell, element) over ALL levels of all of
+  the element's ions, assembled vectorised from the shared
+  bound-bound rate arrays (`macroatom.bound_bound_rates`) and the
+  photoionisation/recombination coefficients (`photoion.compute_rates`)
+  — the same physical rates the transport macro-atom samples, so
+  transport and the population solve stay consistent by construction;
+* the solve is a batched ``np.linalg.solve`` over cells (the
+  reference's per-cell GSL LU decompositions, done one cell at a time
+  per rank, become one batched host solve; matrix sizes here are
+  O(10-100) so a host LAPACK batch is faster than a device round-trip);
+* no superlevel approximation: the reference folds levels above
+  ``nlevels_nlte`` into a superlevel to bound the per-cell LU cost
+  (nltepop.cc:200-260); with the batched solve the full level set is
+  affordable, which removes the superlevel bookkeeping entirely.
+
+Statistical equilibrium for element E with levels i, j:
+    sum_{j != i} n_j R(j->i)  -  n_i sum_{j != i} R(i->j) = 0
+closed by the particle-conservation row  sum_i n_i = n_E
+(replacing the ground-level row, as nltepop.cc:860-885 does).
+
+Rates entering the matrix:
+  bound-bound   R_exc + C_exc (up), R_deexc + C_deexc (down)
+  ionisation    gamma_corr + C_ion (+ non-thermal ionisation when a
+                Spencer-Fano solution is supplied; nltepop.cc:520-560)
+  recombination nne * alpha_sp + C_rec
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..atomic import AtomicData
+from . import macroatom as ma_mod
+
+MINPOP = 1e-40
+
+
+def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
+                    elem_numberdens: np.ndarray, Te, TR, W, nne,
+                    t_mid: float, nt_ion_rate: np.ndarray | None = None,
+                    ) -> np.ndarray:
+    """Solve statistical equilibrium for every element in every cell.
+
+    Parameters
+    ----------
+    levelpops : [ncells, nlevels] current populations (used for the
+        Sobolev escape probabilities in the radiative rates, and as the
+        fallback for cells whose matrix is singular).
+    elem_numberdens : [ncells, nelements] element number densities.
+    nt_ion_rate : optional [ncells, ncont] non-thermal ionisation rate
+        per atom in the continuum's lower level [1/s].
+
+    Returns [ncells, nlevels] float64 populations.
+    """
+    ncells = levelpops.shape[0]
+    bb = ma_mod.bound_bound_rates(ad, levelpops, Te, TR, W, nne, t_mid)
+    rate_up = bb["R_exc"] + bb["C_exc"]  # [ncells, nlines] per lower atom
+    rate_down = bb["R_deexc"] + bb["C_deexc"]  # per upper atom
+
+    nne_c = np.asarray(nne, np.float64)[:, None]
+    if ph is not None and pirates is not None:
+        ion_rate = pirates.gamma_corr + pirates.c_ion
+        if nt_ion_rate is not None:
+            ion_rate = ion_rate + nt_ion_rate
+        rec_rate = nne_c * pirates.alpha_sp + pirates.c_rec
+        cont_lo = ph.cont_level
+        cont_up = ph.cont_upperlevel
+    else:
+        ion_rate = rec_rate = None
+        cont_lo = cont_up = np.zeros(0, np.int32)
+
+    out = np.array(levelpops, dtype=np.float64, copy=True)
+
+    for e in range(ad.nelements):
+        i0, i1 = ad.elem_ion_start[e], ad.elem_ion_start[e + 1]
+        l0, l1 = ad.ion_level_start[i0], ad.ion_level_start[i1]
+        n = int(l1 - l0)
+        if n <= 1:
+            out[:, l0:l1] = elem_numberdens[:, e][:, None]
+            continue
+
+        # assemble M[c, to, from] as a flat [n*n, ncells] scatter-add
+        Mflat = np.zeros((n * n, ncells))
+
+        def add(to_idx, from_idx, rates):
+            # rates: [ncells, nk] per from-level atom
+            flat = to_idx.astype(np.int64) * n + from_idx
+            np.add.at(Mflat, flat, rates.T)
+            # outgoing: subtract on the diagonal of the from column
+            diag = from_idx.astype(np.int64) * n + from_idx
+            np.add.at(Mflat, diag, -rates.T)
+
+        lm = np.flatnonzero((ad.line_lower >= l0) & (ad.line_lower < l1))
+        if lm.size:
+            lo = ad.line_lower[lm] - l0
+            up = ad.line_upper[lm] - l0
+            add(up, lo, rate_up[:, lm])
+            add(lo, up, rate_down[:, lm])
+        if ion_rate is not None:
+            cm = np.flatnonzero((cont_lo >= l0) & (cont_lo < l1))
+            if cm.size:
+                clo = cont_lo[cm] - l0
+                cup = cont_up[cm] - l0
+                add(cup, clo, ion_rate[:, cm])
+                add(clo, cup, rec_rate[:, cm])
+
+        M = Mflat.T.reshape(ncells, n, n)
+        # particle conservation replaces the ground-level equation
+        # (nltepop.cc:860-885); scale the constraint row to the matrix
+        # magnitude so the LU pivoting stays well conditioned
+        scale = np.maximum(np.abs(M).max(axis=(1, 2)), 1.0)
+        M[:, 0, :] = scale[:, None]
+        b = np.zeros((ncells, n))
+        n_e = np.asarray(elem_numberdens[:, e], np.float64)
+        b[:, 0] = scale * n_e
+
+        ok = n_e > 0
+        x = np.full((ncells, n), MINPOP)
+        if np.any(ok):
+            try:
+                sol = np.linalg.solve(M[ok], b[ok][..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                sol = np.stack([
+                    np.linalg.lstsq(Mi, bi, rcond=None)[0]
+                    for Mi, bi in zip(M[ok], b[ok])])
+            x[ok] = sol
+        # negative populations indicate an unconverged radiative-rate
+        # linearisation; floor them (nltepop.cc:973-1008 warns and
+        # floors to MINPOP as well)
+        bad = ~np.all(np.isfinite(x), axis=1)
+        x = np.clip(x, MINPOP, None)
+        # renormalise to exact particle conservation after flooring
+        tot = x.sum(axis=1)
+        x = x * np.where(ok & (tot > 0), n_e / np.maximum(tot, 1e-300),
+                         1.0)[:, None]
+        # singular cells keep their previous (LTE) populations
+        x[bad] = np.maximum(out[bad, l0:l1], MINPOP)
+        out[:, l0:l1] = np.where(ok[:, None], x, MINPOP)
+    return out
+
+
+def nne_from_levelpops(ad: AtomicData, levelpops: np.ndarray) -> np.ndarray:
+    """Free-electron density implied by a set of level populations
+    (charge conservation over all ions; calculate_electron_densities,
+    nltepop.cc / update_grid.cc)."""
+    nl = np.asarray(levelpops, np.float64)
+    nne = np.zeros(nl.shape[0])
+    for i in range(ad.nions_total):
+        s, e = ad.ion_level_start[i], ad.ion_level_start[i + 1]
+        charge = float(ad.ion_stage[i] - 1)
+        if charge > 0:
+            nne += charge * nl[:, s:e].sum(axis=1)
+    return nne
+
+
+def ion_populations(ad: AtomicData, levelpops: np.ndarray) -> np.ndarray:
+    """[ncells, nions] ion number densities from level populations."""
+    nl = np.asarray(levelpops, np.float64)
+    out = np.zeros((nl.shape[0], ad.nions_total))
+    for i in range(ad.nions_total):
+        s, e = ad.ion_level_start[i], ad.ion_level_start[i + 1]
+        out[:, i] = nl[:, s:e].sum(axis=1)
+    return out

@@ -55,3 +55,47 @@ def test_md5_mismatch_rejected(tmp_path):
     with pytest.raises(ValueError, match="md5"):
         sim_other.load_checkpoint(str(tmp_path / "b"
                                       / "checkpoint_ts1.npz"))
+
+
+def test_device_crash_recovery(monkeypatch):
+    """A device/worker crash mid-timestep is recovered in-process from
+    the host snapshots: the run completes and matches an uncrashed run
+    bit-for-bit (same base key, snapshot replay)."""
+    import jax
+
+    cfg = _cfg(transport_chunk_iters=64)
+    model = make_toy_1d_model(nshells=8, mni56_msun=0.2, tmin=cfg.tmin)
+    ref = Simulation(model, cfg)
+    ref.run(until=2, verbose=False, checkpoint=False)
+
+    model2 = make_toy_1d_model(nshells=8, mni56_msun=0.2, tmin=cfg.tmin)
+    sim = Simulation(model2, cfg)
+    real_step = sim._step_fn
+    calls = {"n": 0}
+
+    def flaky_step(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise jax.errors.JaxRuntimeError(
+                "UNAVAILABLE: TPU worker process crashed (injected)")
+        return real_step(*a, **kw)
+
+    sim._step_fn = flaky_step
+    # keep the CPU test backend alive: skip the backend reset, only
+    # verify the state-restore path
+    recovered = {"n": 0}
+
+    def fake_recover():
+        recovered["n"] += 1
+        sim._step_fn = real_step
+
+    monkeypatch.setattr(sim, "_device_recover", fake_recover)
+    sim.run(until=2, verbose=False, checkpoint=False)
+    assert recovered["n"] == 1
+
+    from artis_tpu.packets import to_numpy
+    a, b = to_numpy(ref.packets), to_numpy(sim.packets)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    np.testing.assert_allclose(ref.est_J_prev, sim.est_J_prev,
+                               rtol=1e-6)

@@ -16,7 +16,7 @@ def sim_done():
                     tmax_days=200.0, ftstep=4, opacity_case=4,
                     seed=31, num_grey_timesteps=0, num_lte_timesteps=1,
                     nonthermal_on=True, sf_points=256,
-                    compact_min_size=64)
+                    nlte_pops_on=True, compact_min_size=64)
     # late-time, low-density ejecta: nebular conditions
     model = make_toy_1d_model(nshells=4, mtot_msun=0.6,
                               mni56_msun=0.5, tmin=cfg.tmin)
@@ -41,6 +41,30 @@ def test_sf_solution_available(sim_done):
     np.testing.assert_allclose(s[nz], 1.0, atol=1e-6)
     # at nebular epochs a meaningful fraction ionises
     assert np.any(sol.frac_ionization[nz] > 0.005)
+
+
+def test_nlte_pops_solved(sim_done):
+    """After the forced-LTE phase the statistical-equilibrium solver
+    ran; populations conserve each element's number density and the
+    implied nne was adopted on the grid."""
+    nl = sim_done.nlte_levelpops
+    ad = sim_done.atomic_data
+    g = sim_done.grid
+    nz = g.rho_init > 0
+    assert np.all(np.isfinite(nl))
+    from artis_tpu.plasma import lte as lte_mod
+    from artis_tpu.plasma import nltepop as nltepop_mod
+    nd = lte_mod.elem_numberdens_from_massfracs(ad, g.rho, g.elem_abund)
+    ionpops = nltepop_mod.ion_populations(ad, nl)
+    for e in range(ad.nelements):
+        i0, i1 = ad.elem_ion_start[e], ad.elem_ion_start[e + 1]
+        have = nd[nz, e] > 0
+        np.testing.assert_allclose(
+            ionpops[nz][have][:, i0:i1].sum(axis=1), nd[nz, e][have],
+            rtol=1e-5)
+    np.testing.assert_allclose(
+        g.nne[nz], nltepop_mod.nne_from_levelpops(ad, nl)[nz],
+        rtol=1e-6)
 
 
 def test_thermal_balance_te(sim_done):
