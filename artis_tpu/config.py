@@ -69,6 +69,12 @@ class SimConfig:
     # element, nltepop.cc analogue). Applies after num_lte_timesteps;
     # requires opacity_case 4.
     nlte_pops_on: bool = False
+    # multibin radiation-field model (radfield.cc MULTIBIN mode):
+    # per-(cell, log-nu-bin) J/nuJ estimators fitted with (W, T_R)
+    # each; rates then integrate over the fitted field instead of the
+    # fullspec dilute blackbody. Applies after num_lte_timesteps.
+    multibin_radfield_on: bool = False
+    radfield_nbins: int = 64  # RADFIELDBINCOUNT analogue
     # polarised electron scattering (Stokes Q/U tracking; Bulla+2015)
     polarization_on: bool = False
     sf_points: int = 384  # Spencer-Fano energy grid size (SFPTS)

@@ -43,6 +43,7 @@ from .plasma.lte_case4 import compute_case4_state, update_thick_flags
 from .plasma import macroatom as ma_mod
 from .plasma import nltepop as nltepop_mod
 from .plasma import photoion as photoion_mod
+from .plasma import radfield as radfield_mod
 from .phixs import PhixsData, make_hydrogenic_phixs
 from .rng import make_base_key
 from .timesteps import TimestepGrid, build_timesteps
@@ -125,15 +126,25 @@ class Simulation:
         (sn3d.cc:420-451); on the single-chip tunnel a worker restart
         is recoverable in-process from the host-side snapshots the
         chunk loop keeps."""
-        try:
-            jax.clear_caches()
-        except Exception:
-            pass
-        try:
-            import jax.extend.backend as _jeb
-            _jeb.clear_backends()
-        except Exception:
-            pass
+        t0 = _time.time()
+        while True:
+            try:
+                jax.clear_caches()
+            except Exception:
+                pass
+            try:
+                import jax.extend.backend as _jeb
+                _jeb.clear_backends()
+            except Exception:
+                pass
+            try:
+                # probe: backend must complete a trivial computation
+                jnp.zeros(8).block_until_ready()
+                break
+            except Exception:
+                if _time.time() - t0 > 900.0:
+                    raise
+                _time.sleep(20.0)
         self.params = self._build_params()
         self.base_key = make_base_key(self.cfg.seed)
         self._step_fn = self._make_step_fn()
@@ -237,6 +248,9 @@ class Simulation:
                                - np.log(cfg.nu_min_r)) / 128),
             planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
             kpkt_diffusion_dt=f32(0.0),
+            rf_lognu_min=f32(np.log(cfg.nu_min_r)),
+            rf_dlognu=f32((np.log(cfg.nu_max_r) - np.log(cfg.nu_min_r))
+                          / max(cfg.radfield_nbins, 1)),
         )
 
     def _tables(self, tmid: Optional[float] = None) -> dict:
@@ -246,8 +260,10 @@ class Simulation:
                 g, self.atomic_data, self.units)
             t_mid_s = tmid if tmid is not None else float(self.ts.mid[0])
             ph = self.phixs
+            rf_binned = getattr(self, "_radfield_binned", None)
             pirates = photoion_mod.compute_rates(
-                self.atomic_data, ph, g.Te, g.TR, g.W, g.nne)
+                self.atomic_data, ph, g.Te, g.TR, g.W, g.nne,
+                radfield=rf_binned)
             if (self.cfg.nlte_pops_on
                     and self.nts_done >= self.cfg.num_lte_timesteps):
                 # statistical-equilibrium populations replace the
@@ -259,7 +275,7 @@ class Simulation:
                 nl_nlte = nltepop_mod.solve_nlte_pops(
                     self.atomic_data, ph, pirates,
                     levelpops.astype(np.float64), nd, g.Te, g.TR,
-                    g.W, g.nne, t_mid_s)
+                    g.W, g.nne, t_mid_s, radfield=rf_binned)
                 self.nlte_levelpops = nl_nlte
                 self.lte_levelpops = levelpops.astype(np.float64)
                 g.nne = np.where(
@@ -273,7 +289,7 @@ class Simulation:
             mats = ma_mod.build_tables(
                 self.atomic_data, self._ma_static, levelpops,
                 g.Te, g.TR, g.W, g.nne, t_mid_s, ph=ph,
-                pirates=pirates)
+                pirates=pirates, radfield=rf_binned)
             pad = lambda a: np.concatenate(
                 [a, np.zeros((1,) + a.shape[1:], a.dtype)])
             tables["ma_proc_cum"] = jnp.asarray(pad(mats["proc_cum"]))
@@ -406,6 +422,26 @@ class Simulation:
                                  1e-30))
                 fit_fullspec_dilute(self.grid, cfg, J_cgs, nubar)
                 self._solve_thermal_balance(tmid)
+                if (cfg.multibin_radfield_on
+                        and "J_bin" in self.est_prev):
+                    # per-bin (W, T_R) fits from the binned estimators
+                    # (fit_parameters, radfield.cc:1177-1290); the
+                    # fitted field feeds this timestep's rate integrals
+                    g = self.grid
+                    deltaV = g.vol_init * (tmid / g.tmin) ** 3
+                    norm = (self.units.x_unit * self.units.e0
+                            / (4.0 * np.pi * deltaV
+                               * self.deltat_prev))
+                    Jb = (self.est_prev["J_bin"][:g.nmodel]
+                          * norm[:, None])
+                    nuJb = (self.est_prev["nuJ_bin"][:g.nmodel]
+                            * norm[:, None])
+                    edges = radfield_mod.make_bin_edges(
+                        cfg.nu_min_r, cfg.nu_max_r,
+                        cfg.radfield_nbins)
+                    self._radfield_binned = \
+                        radfield_mod.fit_bin_parameters(
+                            Jb, nuJb, edges, cfg.mintemp, cfg.maxtemp)
             else:
                 update_temperatures_from_J(self.grid, cfg, J_cgs)
         if self.detailed:
@@ -425,9 +461,19 @@ class Simulation:
         # reference's density sort for load balance,
         # update_packets.cc:204-232).
         t2_sim = self.units.time_to_sim(self.ts.end(nts))
+        # per-timestep kpkt diffusion delay (kpkt.cc:505-512)
+        dt_diff = 0.0
+        if nts < cfg.n_kpktdiffusion_timesteps:
+            dt_diff = (cfg.kpktdiffusion_timescale
+                       * self.units.time_to_sim(float(self.ts.width[nts])))
+        self.params = dataclasses.replace(
+            self.params, kpkt_diffusion_dt=jnp.float32(dt_diff))
         tables = self._tables(tmid)
         pk = self.packets
-        est = zero_estimators(self.grid.nmodel)
+        rf_nbins = (self.cfg.radfield_nbins
+                    if (self.detailed and self.cfg.multibin_radfield_on)
+                    else 0)
+        est = zero_estimators(self.grid.nmodel, rf_nbins)
         chunks = 0
         iters_done = 0
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
@@ -438,9 +484,29 @@ class Simulation:
         snap = None
         snap_stack: list[tuple[dict, np.ndarray]] = []
         crash_retries = 0
+        pending_restore = False
         while True:
             t_chunk = _time.time()
             try:
+                if pending_restore:
+                    # the restore itself runs inside the retried block:
+                    # if the backend is still down it throws again and
+                    # we wait longer
+                    self._device_recover()
+                    tables = self._tables(tmid)
+                    t2_f32 = jnp.float32(t2_sim)
+                    if snap is None:
+                        pk = from_numpy(to_numpy(self.packets))
+                        est = zero_estimators(self.grid.nmodel,
+                                              rf_nbins)
+                        compact_stack, snap_stack = [], []
+                    else:
+                        pk = from_numpy(snap[0])
+                        est = {k: jnp.asarray(v)
+                               for k, v in snap[1].items()}
+                        compact_stack = [(from_numpy(p), jnp.asarray(i))
+                                         for p, i in snap_stack]
+                    pending_restore = False
                 pk, est, n_active = self._step_fn(
                     pk, est, tables, self.params, t2_f32, nts == 0,
                     self.base_key, jnp.int32(self._chunk_iters))
@@ -448,25 +514,20 @@ class Simulation:
                 n_act = int(n_active)  # also syncs the device
             except jax.errors.JaxRuntimeError as err:
                 crash_retries += 1
-                if crash_retries > 3 or "UNAVAILABLE" not in str(err):
+                if crash_retries > 8 or "UNAVAILABLE" not in str(err):
                     raise
                 print(f"  [ts {nts}] device crash "
                       f"({str(err).splitlines()[0][:100]}); "
-                      f"recovering ({crash_retries}/3)", flush=True)
-                _time.sleep(15.0)
-                self._device_recover()
-                tables = self._tables(tmid)
-                t2_f32 = jnp.float32(t2_sim)
-                if snap is None:
-                    pk = from_numpy(to_numpy(self.packets))
-                    est = zero_estimators(self.grid.nmodel)
-                    compact_stack, snap_stack = [], []
-                else:
-                    pk = from_numpy(snap[0])
-                    est = {k: jnp.asarray(v) for k, v in snap[1].items()}
-                    compact_stack = [(from_numpy(p), jnp.asarray(i))
-                                     for p, i in snap_stack]
+                      f"recovering ({crash_retries}/8)", flush=True)
+                # the tunnel worker takes minutes to come back; back
+                # off progressively before each recovery attempt
+                _time.sleep(min(30.0 * crash_retries, 180.0))
+                pending_restore = True
+                # long executions are a suspected crash trigger on the
+                # tunnel: resume with smaller chunks
+                self._chunk_iters = max(32, self._chunk_iters // 4)
                 continue
+            crash_retries = 0
             # stack entries are immutable once pushed: snapshot only
             # the new ones
             while len(snap_stack) < len(compact_stack):
@@ -476,11 +537,12 @@ class Simulation:
                     {k: np.asarray(v) for k, v in est.items()})
             dt_chunk = _time.time() - t_chunk
             iters_done += self._chunk_iters
-            # keep device executions in a 5..45 s band
-            if dt_chunk > 45.0 and self._chunk_iters > 32:
+            # keep device executions in a 4..20 s band (the tunnel can
+            # kill long single executions, see skills/verify)
+            if dt_chunk > 20.0 and self._chunk_iters > 32:
                 self._chunk_iters = max(32, self._chunk_iters // 2)
-            elif dt_chunk < 5.0 and n_act > 0:
-                self._chunk_iters = min(16384, self._chunk_iters * 2)
+            elif dt_chunk < 4.0 and n_act > 0:
+                self._chunk_iters = min(8192, self._chunk_iters * 2)
             if verbose and chunks % 20 == 0:
                 print(f"  [ts {nts}] chunk {chunks}: "
                       f"{n_act}/{pk.n} packets still in flight",
@@ -506,7 +568,11 @@ class Simulation:
                   for k, v in est.items()}
         self.est_J_prev = est_np["J"]
         self.est_prev = {k: est_np[k] for k in
-                         ("J", "nuJ", "ffheat", "colheat", "dep_cell")}
+                         ("J", "nuJ", "ffheat", "colheat", "dep_cell")
+                         if k in est_np}
+        for k in ("J_bin", "nuJ_bin"):
+            if k in est_np:
+                self.est_prev[k] = est_np[k]
         self.deltat_prev = float(self.ts.width[nts])
         self._record_deposition(nts, est_np)
 
@@ -678,6 +744,9 @@ class Simulation:
             "escape_time": arr["escape_time"].astype(np.float64) * u.tmin,
             "stokes_q": arr["stokes_q"].astype(np.float64),
             "stokes_u": arr["stokes_u"].astype(np.float64),
+            "emissiontype": arr["emissiontype"],
+            "absorptiontype": arr["absorptiontype"],
+            "absorption_nu": arr["absorption_nu"].astype(np.float64),
         }
 
     def build_spectra(self, escape_type: int = 11):
@@ -704,8 +773,23 @@ class Simulation:
             os.path.join(out, "gamma_light_curve.out"), spec_g)
         spectra_mod.write_spectrum(
             os.path.join(out, "gamma_spec.out"), spec_g)
+        if self.detailed and self.atomic_data is not None:
+            esc = spectra_mod.select_escaped(self.escaped_arrays_cgs(),
+                                             11)
+            em, ab, names = spectra_mod.build_emission_absorption(
+                esc, self.ts, self.cfg.nu_min_r, self.cfg.nu_max_r,
+                self.cfg.nnubins_r, self.atomic_data, self.phixs)
+            spectra_mod.write_emission_absorption(
+                os.path.join(out, "emission.out"),
+                os.path.join(out, "absorption.out"), self.ts, em, ab,
+                names, self.cfg.nu_min_r, self.cfg.nu_max_r)
         with open(os.path.join(out, "deposition.json"), "w") as f:
             json.dump(self.dep_log, f, indent=1)
+        if getattr(self, "_radfield_binned", None) is not None:
+            radfield_mod.write_radfield_file(
+                os.path.join(out, "radfield.out"),
+                self._radfield_binned, self.nts_done - 1,
+                float(self.ts.mid[self.nts_done - 1]) / DAY)
         if getattr(self, "nlte_levelpops", None) is not None:
             from .output import write_nlte_pops_file
             write_nlte_pops_file(

@@ -29,6 +29,14 @@ from .units import Units
 
 # packet type codes (same values as the reference enum, packet.h:6-17)
 TYPE_ESCAPE = 32
+# emission/absorption provenance codes (packet.h:49-56; kpkt.cc:469)
+EMTYPE_NOTSET = -9999000
+EMTYPE_FREEFREE = -9999999
+# bound-free emission is encoded as -1 - continuum_index
+# (get_continuumindex, atomic.cc:16-38); absorptiontype: line index for
+# bound-bound, -1 electron scatter, -2 free-free (rpkt.cc:383-388)
+ABSTYPE_ESCAT = -1
+ABSTYPE_FREEFREE = -2
 TYPE_RADIOACTIVE_PELLET = 100
 TYPE_GAMMA = 10
 TYPE_RPKT = 11
@@ -73,6 +81,11 @@ class PacketBatch:
     # index (the reference's mastate, packet.h:21-26)
     stokes_q: jax.Array  # [N] f32 Stokes Q/I (packet.h:59)
     stokes_u: jax.Array  # [N] f32 Stokes U/I
+    emissiontype: jax.Array  # [N] int32 last emission process
+    # (packet.h:49: line index, -1-cont for bf, EMTYPE_FREEFREE)
+    absorptiontype: jax.Array  # [N] int32 last absorption process
+    absorption_nu: jax.Array  # [N] f32 nu_rf at last absorption
+    # (packet.h:55 absorptionfreq)
 
     @property
     def n(self) -> int:
@@ -221,6 +234,9 @@ def init_pellets(cfg: SimConfig, g: Grid, dm: decay_mod.DecayModel,
         ma_level=i32(np.zeros(npkts)),
         stokes_q=f32(np.zeros(npkts)),
         stokes_u=f32(np.zeros(npkts)),
+        emissiontype=i32(np.full(npkts, EMTYPE_NOTSET)),
+        absorptiontype=i32(np.full(npkts, EMTYPE_NOTSET)),
+        absorption_nu=f32(np.zeros(npkts)),
     )
     return batch, etot
 

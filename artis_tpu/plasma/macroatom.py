@@ -102,7 +102,8 @@ def _planck_Jnu(nu, T, W):
 
 def bound_bound_rates(ad: AtomicData, levelpops: np.ndarray,
                       Te: np.ndarray, TR: np.ndarray, W: np.ndarray,
-                      nne: np.ndarray, t_mid: float) -> dict:
+                      nne: np.ndarray, t_mid: float,
+                      radfield=None) -> dict:
     """Per-(cell, line) bound-bound process rates, shared between the
     macro-atom tables and the NLTE rate matrix (the reference computes
     the same four quantities in both macroatom.cc:922-1062 and the
@@ -138,8 +139,14 @@ def bound_bound_rates(ad: AtomicData, levelpops: np.ndarray,
 
     R_deexc = np.where(tau > 1e-50, A * beta, 0.0)
 
-    Jnu = _planck_Jnu(nu, np.asarray(TR, np.float64)[:, None],
-                      np.asarray(W, np.float64)[:, None])
+    if radfield is not None:
+        # fitted multibin field at the line frequencies (the NLTE /
+        # detailed mode evaluates J_nu from the binned model,
+        # radfield.cc:898)
+        Jnu = radfield.Jnu_at(ad.line_nu)
+    else:
+        Jnu = _planck_Jnu(nu, np.asarray(TR, np.float64)[:, None],
+                          np.asarray(W, np.float64)[:, None])
     with np.errstate(invalid="ignore", divide="ignore"):
         R_over_J = np.where(n_l > 0,
                             (B_lu[None, :] - B_ul[None, :] * n_u
@@ -183,7 +190,7 @@ def bound_bound_rates(ad: AtomicData, levelpops: np.ndarray,
 def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
                  levelpops: np.ndarray, Te: np.ndarray, TR: np.ndarray,
                  W: np.ndarray, nne: np.ndarray, t_mid: float,
-                 ph=None, pirates=None):
+                 ph=None, pirates=None, radfield=None):
     """Per-timestep macro-atom tables for all cells.
 
     Returns dict (numpy float32):
@@ -209,7 +216,8 @@ def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
 
     n_l = nl[:, lo]
 
-    bb = bound_bound_rates(ad, levelpops, Te, TR, W, nne, t_mid)
+    bb = bound_bound_rates(ad, levelpops, Te, TR, W, nne, t_mid,
+                           radfield=radfield)
     R_deexc, R_exc = bb["R_deexc"], bb["R_exc"]
     C_deexc, C_exc = bb["C_deexc"], bb["C_exc"]
 

@@ -47,7 +47,7 @@ MINPOP = 1e-40
 def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
                     elem_numberdens: np.ndarray, Te, TR, W, nne,
                     t_mid: float, nt_ion_rate: np.ndarray | None = None,
-                    ) -> np.ndarray:
+                    radfield=None) -> np.ndarray:
     """Solve statistical equilibrium for every element in every cell.
 
     Parameters
@@ -62,7 +62,8 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
     Returns [ncells, nlevels] float64 populations.
     """
     ncells = levelpops.shape[0]
-    bb = ma_mod.bound_bound_rates(ad, levelpops, Te, TR, W, nne, t_mid)
+    bb = ma_mod.bound_bound_rates(ad, levelpops, Te, TR, W, nne, t_mid,
+                                  radfield=radfield)
     rate_up = bb["R_exc"] + bb["C_exc"]  # [ncells, nlines] per lower atom
     rate_down = bb["R_deexc"] + bb["C_deexc"]  # per upper atom
 

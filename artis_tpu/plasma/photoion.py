@@ -52,8 +52,14 @@ def _planck(nu, T):
 
 def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
                   TR: np.ndarray, W: np.ndarray,
-                  nne: np.ndarray) -> PhotoionRates:
-    """Evaluate all rate integrals for every cell x continuum."""
+                  nne: np.ndarray, radfield=None) -> PhotoionRates:
+    """Evaluate all rate integrals for every cell x continuum.
+
+    ``radfield``: optional fitted BinnedRadField; when given, the
+    photoionisation and bf-heating integrals run over the multibin
+    field instead of the fullspec dilute blackbody — the reference's
+    DETAILED_BF_ESTIMATORS / NO_LUT mode
+    (calculate_corrphotoioncoeff_integral, ratecoeff.cc:1184-1260)."""
     Te = np.maximum(np.asarray(Te, np.float64), 1.0)[:, None]
     TR = np.maximum(np.asarray(TR, np.float64), 1.0)[:, None]
     W = np.asarray(W, np.float64)[:, None]
@@ -99,6 +105,21 @@ def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
                 * dnu, axis=1)
     alpha_sp *= sfac
     bfcool *= sfac
+
+    if radfield is not None:
+        # integrate over the fitted multibin field: J_nu and the bin's
+        # colour temperature give the stimulated-emission correction
+        nu_flat = nu.ravel()
+        J3 = radfield.Jnu_at(nu_flat).reshape(ncells, nc, -1)
+        T3 = radfield.TR_at(nu_flat).reshape(ncells, nc, -1)
+        with np.errstate(over="ignore", invalid="ignore"):
+            stim3 = -np.expm1(-np.minimum(
+                H * nu[None] / (KB * np.maximum(T3, 1.0)), 500.0))
+        gamma = 4.0 * np.pi * np.sum(
+            sig[None] / (H * nu[None]) * J3 * stim3 * dnu[None], axis=2)
+        bfheat = 4.0 * np.pi * np.sum(
+            sig[None] * (1.0 - ph.cont_nu_edge[None, :, None]
+                         / nu[None]) * J3 * stim3 * dnu[None], axis=2)
 
     # Seaton collisional ionisation (macroatom.cc:1166-1196)
     stage = ad.ion_stage[ph.cont_upperion] - 1  # lower-ion stage

@@ -203,6 +203,120 @@ def write_specpol(path: str, ts: TimestepGrid, I, Q, U, nu_min, nu_max):
             f.write(" ".join(cols) + "\n")
 
 
+def emission_column_names(ad) -> list[str]:
+    """Process-column layout for emission/absorption attribution
+    (columnindex_from_emissiontype, spectrum.cc:306-337): one column
+    per ion for bound-bound, one per ion for bound-free (keyed by the
+    continuum's lower ion), then free-free and other/unset."""
+    names = []
+    for tag in ("bb", "bf"):
+        for i in range(ad.nions_total):
+            z = ad.elem_z[ad.ion_element[i]]
+            names.append(f"{tag}_Z{z}_ionstage{ad.ion_stage[i]}")
+    names.append("freefree")
+    names.append("other")
+    return names
+
+
+def build_emission_absorption(escaped: dict[str, np.ndarray],
+                              ts: TimestepGrid, nu_min: float,
+                              nu_max: float, nnubins: int, ad,
+                              ph=None):
+    """Emission- and absorption-attributed spectra (the do_emission_res
+    mode of exspec: add_to_spec's emission/absorption part,
+    spectrum.cc:363-420).
+
+    Every escaped r-packet's flux is credited to the process that last
+    emitted it (line -> the line's ion; bf continuum -> the lower ion;
+    free-free) and, when its last absorption was bound-bound, debited
+    in the absorption spectrum of that line's ion at the absorption
+    frequency.
+
+    Returns (emission [nts, nnu, ncols], absorption [nts, nnu, nions],
+    column_names)."""
+    from .packets import EMTYPE_FREEFREE
+
+    ni = ad.nions_total
+    ncols = 2 * ni + 2
+    names = emission_column_names(ad)
+
+    t_arrive = _arrival_times(escaped["pos"], escaped["dirvec"],
+                              escaped["escape_time"])
+    nu = escaped["nu_rf"]
+    e_rf = escaped["e_rf"]
+    et = escaped["emissiontype"].astype(np.int64)
+
+    col = np.full(len(et), 2 * ni + 1, dtype=np.int64)  # other
+    bb = et >= 0
+    col[bb] = ad.line_ion[np.clip(et[bb], 0, ad.nlines - 1)]
+    col[et == EMTYPE_FREEFREE] = 2 * ni
+    if ph is not None:
+        is_bf = (et < 0) & (et > -9999000)
+        cont = np.clip(-1 - et[is_bf], 0, ph.ncont - 1)
+        cont_lowerion = (np.searchsorted(ad.ion_level_start,
+                                         ph.cont_level,
+                                         side="right") - 1)
+        col[is_bf] = ni + cont_lowerion[cont]
+
+    tmin = ts.start[0]
+    tmax = ts.start[-1] + ts.width[-1]
+    dlognu = (np.log(nu_max) - np.log(nu_min)) / nnubins
+    nu_lower = np.exp(np.log(nu_min) + np.arange(nnubins) * dlognu)
+    nu_delta = np.exp(np.log(nu_min)
+                      + (np.arange(nnubins) + 1) * dlognu) - nu_lower
+    norm = 1.0 / (4e12 * PI * PARSEC * PARSEC)
+
+    ok = ((t_arrive > tmin) & (t_arrive < tmax)
+          & (nu > nu_min) & (nu < nu_max))
+    it = np.clip(np.searchsorted(ts.start, t_arrive[ok], "right") - 1,
+                 0, ts.n - 1)
+    inu = np.clip(((np.log(nu[ok]) - np.log(nu_min))
+                   / dlognu).astype(np.int64), 0, nnubins - 1)
+    emission = np.zeros((ts.n, nnubins, ncols))
+    np.add.at(emission, (it, inu, col[ok]), e_rf[ok])
+    emission *= norm / ts.width[:, None, None] / nu_delta[None, :, None]
+
+    # absorption: binned at the rest-frame frequency of the last
+    # bound-bound absorption (spectrum.cc:404-420)
+    at = escaped["absorptiontype"].astype(np.int64)
+    nu_abs = escaped["absorption_nu"]
+    ok_a = ((t_arrive > tmin) & (t_arrive < tmax) & (at >= 0)
+            & (nu_abs > nu_min) & (nu_abs < nu_max))
+    it_a = np.clip(np.searchsorted(ts.start, t_arrive[ok_a],
+                                   "right") - 1, 0, ts.n - 1)
+    inu_a = np.clip(((np.log(nu_abs[ok_a]) - np.log(nu_min))
+                     / dlognu).astype(np.int64), 0, nnubins - 1)
+    ion_a = ad.line_ion[np.clip(at[ok_a], 0, ad.nlines - 1)]
+    absorption = np.zeros((ts.n, nnubins, ni))
+    np.add.at(absorption, (it_a, inu_a, ion_a), e_rf[ok_a])
+    absorption *= norm / ts.width[:, None, None] / nu_delta[None, :, None]
+    return emission, absorption, names
+
+
+def write_emission_absorption(path_em: str, path_abs: str, ts,
+                              emission: np.ndarray,
+                              absorption: np.ndarray,
+                              names: list[str], nu_min: float,
+                              nu_max: float):
+    """emission.out / absorption.out: per (timestep, nu-bin) row the
+    flux attributed to each process column (the reference's layout,
+    spectrum.cc:190-212, with a named header)."""
+    for path, arr, cols in (
+            (path_em, emission, names),
+            (path_abs, absorption, names[:absorption.shape[2]])):
+        nnubins = arr.shape[1]
+        dlognu = (np.log(nu_max) - np.log(nu_min)) / nnubins
+        nu_c = np.exp(np.log(nu_min)
+                      + (np.arange(nnubins) + 0.5) * dlognu)
+        with open(path, "w") as f:
+            f.write("#timestep nu_mid " + " ".join(cols) + "\n")
+            for n in range(ts.n):
+                for i in range(nnubins):
+                    row = [str(n), f"{nu_c[i]:g}"]
+                    row += [f"{v:g}" for v in arr[n, i]]
+                    f.write(" ".join(row) + "\n")
+
+
 def write_spectrum(path: str, spec: Spectra):
     """spec.out format: first line = 0 followed by times [days];
     then one row per frequency bin: nu_centre, flux per timestep

@@ -36,7 +36,9 @@ from ..nucdata import (DECAYTYPE_ALPHA, DECAYTYPE_BETAMINUS,
 from ..packets import (PacketBatch, TYPE_ESCAPE, TYPE_GAMMA, TYPE_KPKT,
                        TYPE_MA, TYPE_NONTHERMAL_PREDEPOSIT,
                        TYPE_NTLEPTON, TYPE_PRE_KPKT,
-                       TYPE_RADIOACTIVE_PELLET, TYPE_RPKT)
+                       TYPE_RADIOACTIVE_PELLET, TYPE_RPKT,
+                       EMTYPE_FREEFREE, ABSTYPE_ESCAT,
+                       ABSTYPE_FREEFREE)
 from ..rng import packet_uniforms, uniform_pos
 
 MEC2 = ME * CLIGHT * CLIGHT
@@ -86,6 +88,10 @@ class TransportParams:
     planck_x: jax.Array  # [P] log-spaced x = h nu / k T
     planck_cdf: jax.Array  # [P]
     kpkt_diffusion_dt: jax.Array  # sim-time diffusion delay this step
+    # binned radfield estimator grid (radfield.cc MULTIBIN); bins are
+    # log-spaced over [nu_min_r, nu_max_r]
+    rf_lognu_min: jax.Array  # f32
+    rf_dlognu: jax.Array  # f32
 
 
 def make_planck_table(npts: int = 1024) -> tuple[np.ndarray, np.ndarray]:
@@ -103,9 +109,18 @@ def make_planck_table(npts: int = 1024) -> tuple[np.ndarray, np.ndarray]:
     return x.astype(np.float32), cdf.astype(np.float32)
 
 
-def zero_estimators(nmodel: int) -> dict[str, jax.Array]:
+def zero_estimators(nmodel: int,
+                    radfield_nbins: int = 0) -> dict[str, jax.Array]:
     z = lambda: jnp.float32(0.0)
-    return {
+    out = {}
+    if radfield_nbins > 0:
+        # binned radfield J/nuJ estimators (radfield.cc:831-876); the
+        # keys' presence switches on the per-bin scatter in the kernel
+        out["J_bin"] = jnp.zeros((nmodel + 1, radfield_nbins),
+                                 jnp.float32)
+        out["nuJ_bin"] = jnp.zeros((nmodel + 1, radfield_nbins),
+                                   jnp.float32)
+    return out | {
         "J": jnp.zeros(nmodel + 1, jnp.float32),
         "nuJ": jnp.zeros(nmodel + 1, jnp.float32),
         "ffheat": jnp.zeros(nmodel + 1, jnp.float32),
@@ -571,7 +586,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             nu_rf=nu_ma / dopp_ma, e_rf=pk.e_cmf / dopp_ma,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
             em_time=pk.prop_time, next_trans=k_line + 1,
-            nscatterings=jnp.int32(0))
+            nscatterings=jnp.int32(0), emissiontype=k_line)
         # radiative recombination -> r-packet at a continuum frequency
         # (do_macroatom_radrecomb, macroatom.cc:298-380)
         Te_ma = tables["Te"][mgi]
@@ -580,7 +595,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             nu_rf=nu_rec / dopp_ma, e_rf=pk.e_cmf / dopp_ma,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
             em_time=pk.prop_time, next_trans=jnp.int32(-1),
-            nscatterings=jnp.int32(0))
+            nscatterings=jnp.int32(0),
+            emissiontype=-1 - k_cont)
         # collisional deexcitation/recombination -> k-packet
         # (macroatom.cc:689-757)
         upd(ma_col, ptype=TYPE_KPKT, next_trans=jnp.int32(-1))
@@ -622,8 +638,21 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     is_thick = tables["thick"][mgi] == 1
     m_kpkt_all = active & ((ptype_now == TYPE_PRE_KPKT)
                            | (ptype_now == TYPE_KPKT))
-    pos_k = new["pos"]
-    t_k = new["prop_time"]
+    # kpkt diffusion-time delay (do_kpkt, kpkt.cc:505-515): TYPE_KPKT
+    # packets wait deltat = kpktdiffusion_timescale * timestep width
+    # before re-emitting; if that crosses t2 they ride the flow and
+    # stay k-packets into the next timestep (kpkt.cc:821-846)
+    is_k = ptype_now == TYPE_KPKT
+    t0_k = new["prop_time"]
+    t0_safe = jnp.maximum(t0_k, 1e-30)
+    t_kd = t0_k + params.kpkt_diffusion_dt
+    m_defer = m_kpkt_all & is_k & (t_kd > t2)
+    upd(m_defer, pos=new["pos"] * (t2 / t0_safe)[:, None],
+        prop_time=t2)
+    m_kpkt_all = m_kpkt_all & ~m_defer
+    t_k = jnp.where(is_k, t_kd, t0_k)
+    pos_k = new["pos"] * jnp.where(is_k, t_kd / t0_safe, 1.0)[:, None]
+    upd(m_kpkt_all & is_k, pos=pos_k, prop_time=t_k)
     Te = tables["Te"][mgi]
     dir_k, dopp_k = _emit_isotropic(pos_k, t_k, u[:, 4], u[:, 5],
                                     relativistic)
@@ -683,7 +712,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(k_ff, ptype=TYPE_RPKT, nu_cmf=nu_ff, nu_rf=nu_ff / dopp_k,
             e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
             last_cross=geo.BOUNDARY_NONE, em_time=t_k,
-            nscatterings=jnp.int32(0), next_trans=jnp.int32(-1))
+            nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
+            emissiontype=jnp.int32(EMTYPE_FREEFREE))
 
         # fb emission: select the continuum, sample nu from its
         # recombination emissivity (kpkt.cc:612-695)
@@ -694,7 +724,9 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(k_fb, ptype=TYPE_RPKT, nu_cmf=nu_fb, nu_rf=nu_fb / dopp_k,
             e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
             last_cross=geo.BOUNDARY_NONE, em_time=t_k,
-            nscatterings=jnp.int32(0), next_trans=jnp.int32(-1))
+            nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
+            emissiontype=-1 - jnp.clip(
+                k_fb_cont, 0, params.cont_nu_edge.shape[0] - 1))
 
         # collisional excitation: line -> macro-atom upper level
         # (kpkt.cc:696-760)
@@ -719,7 +751,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
         last_cross=geo.BOUNDARY_NONE, em_time=t_k,
         nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
-        stokes_q=jnp.float32(0.0), stokes_u=jnp.float32(0.0))
+        stokes_q=jnp.float32(0.0), stokes_u=jnp.float32(0.0),
+        emissiontype=jnp.int32(EMTYPE_FREEFREE))
     m_kpkt = m_kpkt_all
     cnt["interactions"] += mcount(m_kpkt)
 
@@ -967,16 +1000,16 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         last_cross=geo.BOUNDARY_NONE)
 
     m_elec = ev_compton & ~stay_gamma
-    upd(m_elec, ptype=TYPE_NTLEPTON)
+    upd(m_elec, ptype=TYPE_NTLEPTON, absorptiontype=jnp.int32(-3))
 
     # photoelectric -> non-thermal lepton (gammapkt.cc:670-680)
-    upd(ev_pe, ptype=TYPE_NTLEPTON)
+    upd(ev_pe, ptype=TYPE_NTLEPTON, absorptiontype=jnp.int32(-4))
 
     # pair production (pair_prod, photo_electric.cc:116-166)
     prob_gamma_pp = 1.022 * MEV / (H * jnp.maximum(nu_cmf_n, 1.0))
     pp_gamma = ev_pp & (u[:, 8] <= prob_gamma_pp)
     pp_lepton = ev_pp & ~pp_gamma
-    upd(pp_lepton, ptype=TYPE_NTLEPTON)
+    upd(pp_lepton, ptype=TYPE_NTLEPTON, absorptiontype=jnp.int32(-5))
     nu_511 = jnp.float32(0.511 * MEV / H)
     dir_pp, dopp_pp = _emit_isotropic(pos_n, t_n, u[:, 9], u[:, 0],
                                       relativistic)
@@ -1004,6 +1037,26 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     est_colheat = est["colheat"] + cell_acc[:, 3]
     est_dep = est["dep_cell"] + cell_acc[:, 4]
 
+    if "J_bin" in est:
+        # binned radfield estimators (update_radfield_estimators,
+        # radfield.cc:831-876): same path contribution, resolved on
+        # the log-nu bin of the comoving frequency
+        nbins_rf = est["J_bin"].shape[1]
+        ibin = ((jnp.log(jnp.maximum(nu_cmf_mid, 1.0))
+                 - params.rf_lognu_min)
+                / params.rf_dlognu).astype(jnp.int32)
+        valid_b = contrib_mask & (ibin >= 0) & (ibin < nbins_rf)
+        flat_b = mgi * nbins_rf + jnp.clip(ibin, 0, nbins_rf - 1)
+        bin_contrib = jnp.stack(
+            [jnp.where(valid_b, dJ, 0.0),
+             jnp.where(valid_b, dJ * nu_cmf_mid, 0.0)], axis=1)
+        bin_acc = jnp.zeros((est["J_bin"].shape[0] * nbins_rf, 2),
+                            jnp.float32).at[flat_b].add(bin_contrib)
+        est_J_bin = est["J_bin"] + bin_acc[:, 0].reshape(
+            est["J_bin"].shape)
+        est_nuJ_bin = est["nuJ_bin"] + bin_acc[:, 1].reshape(
+            est["nuJ_bin"].shape)
+
     # r-packet thick-cell scattering (rpkt_event_thickcell,
     # rpkt.cc:491-509): coherent isotropic re-emission
     ev_r = take_event & m_rpkt & ~m_det
@@ -1026,7 +1079,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # line's upper level (rpkt_event_boundbound, rpkt.cc:449-489)
         wl_c = jnp.clip(walk_line, 0, nlines - 1)
         upd(bb_hit, ptype=TYPE_MA, ma_level=params.line_upper[wl_c],
-            next_trans=wl_c + 1, nscatterings=jnp.int32(0))
+            next_trans=wl_c + 1, nscatterings=jnp.int32(0),
+            absorptiontype=wl_c, absorption_nu=pk.nu_rf)
         cnt["ma_activations"] += mcount(bb_hit)
         upd(line_pass, next_trans=j_new)
 
@@ -1048,14 +1102,17 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             upd(ev_escat, dirvec=dir_p, nu_rf=nu_cmf_n / dopp_p,
                 e_rf=e_cmf_n / dopp_p, last_cross=geo.BOUNDARY_NONE,
                 nscatterings=pk.nscatterings + 1, em_time=t_n,
-                next_trans=j_new, stokes_q=q_p, stokes_u=u_p)
+                next_trans=j_new, stokes_q=q_p, stokes_u=u_p,
+                absorptiontype=jnp.int32(ABSTYPE_ESCAT))
         else:
             upd(ev_escat, dirvec=dir_r, nu_rf=nu_cmf_n / dopp_r,
                 e_rf=e_cmf_n / dopp_r, last_cross=geo.BOUNDARY_NONE,
                 nscatterings=pk.nscatterings + 1, em_time=t_n,
-                next_trans=j_new)
+                next_trans=j_new,
+                absorptiontype=jnp.int32(ABSTYPE_ESCAT))
         upd(ev_ff, ptype=TYPE_KPKT, next_trans=jnp.int32(-1),
-            nscatterings=jnp.int32(0))
+            nscatterings=jnp.int32(0),
+            absorptiontype=jnp.int32(ABSTYPE_FREEFREE))
         cnt["escounter"] += mcount(ev_escat)
 
         # bound-free absorption: select the continuum from the coarse
@@ -1121,6 +1178,9 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         new["interactions"])
 
     est_out = dict(est)
+    if "J_bin" in est:
+        est_out["J_bin"] = est_J_bin
+        est_out["nuJ_bin"] = est_nuJ_bin
     est_out["J"] = est_J
     est_out["nuJ"] = est_nuJ
     est_out["dep_cell"] = est_dep

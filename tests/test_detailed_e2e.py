@@ -59,3 +59,33 @@ def test_rpkt_spectrum_produced(sim_done):
     spec = sim_done.build_spectra(TYPE_RPKT)
     assert spec.lum.max() > 0
     assert np.all(np.isfinite(spec.flux))
+
+
+def test_emission_absorption_attribution(sim_done):
+    """Every escaped r-packet's flux is attributed to an emission
+    process; the per-process emission spectra sum back to the total
+    spectrum (add_to_spec emission part, spectrum.cc:363-420)."""
+    from artis_tpu import spectra as spectra_mod
+    from artis_tpu.packets import EMTYPE_NOTSET
+
+    esc = spectra_mod.select_escaped(sim_done.escaped_arrays_cgs(), 11)
+    assert len(esc["e_rf"]) > 0
+    # every escaped r-packet carries a concrete emission type
+    assert np.all(esc["emissiontype"] != EMTYPE_NOTSET)
+
+    cfg = sim_done.cfg
+    em, ab, names = spectra_mod.build_emission_absorption(
+        esc, sim_done.ts, cfg.nu_min_r, cfg.nu_max_r, 200,
+        sim_done.atomic_data, sim_done.phixs)
+    spec = spectra_mod.build_spectra(esc, sim_done.ts, cfg.nu_min_r,
+                                     cfg.nu_max_r, 200,
+                                     vmax=sim_done.grid.vmax)
+    ad = sim_done.atomic_data
+    assert len(names) == 2 * ad.nions_total + 2
+    # nothing lands in the "other" bucket
+    assert em[:, :, -1].sum() == 0.0
+    np.testing.assert_allclose(em.sum(axis=2), spec.flux, rtol=1e-5,
+                               atol=spec.flux.max() * 1e-8)
+    # bound-bound absorption events were recorded
+    assert np.any(esc["absorptiontype"] >= 0)
+    assert ab.sum() > 0

@@ -53,6 +53,8 @@ def make_params(line_nu=(), taufac=(), nlevels=2, **kw):
         bf_dlognu_sel=f32((np.log(5e15) - np.log(1e13)) / 128),
         planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
         kpkt_diffusion_dt=f32(0.0),
+            rf_lognu_min=f32(np.log(1e14)),
+            rf_dlognu=f32((np.log(5e15) - np.log(1e14)) / 64),
     )
 
 
@@ -122,6 +124,8 @@ def make_rpkts(n, r0=0.02, nu_cmf=6e14, t0=1.0, seed=1):
         rng_count=i32(0), pkt_id=jnp.arange(n, dtype=jnp.int32),
         nu_decay=f32(0.0), next_trans=i32(-1), ma_level=i32(0),
         stokes_q=f32(0.0), stokes_u=f32(0.0),
+        emissiontype=i32(-9999000), absorptiontype=i32(-9999000),
+        absorption_nu=f32(0.0),
     )
 
 

@@ -116,6 +116,8 @@ def test_fluorescence_branching():
         bf_dlognu_sel=f32((np.log(5e15) - np.log(1e13)) / 128),
         planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
         kpkt_diffusion_dt=f32(0.0),
+            rf_lognu_min=f32(np.log(1e14)),
+            rf_dlognu=f32((np.log(5e15) - np.log(1e14)) / 64),
     )
     tables = make_tables(ncells=1, rmax=0.2, levelpop=1.0,
                          nlevels=nlevels, nlines=nlines)
@@ -182,6 +184,8 @@ def test_ma_internal_jump_cascade():
         bf_dlognu_sel=f32((np.log(5e15) - np.log(1e13)) / 128),
         planck_x=jnp.asarray(px), planck_cdf=jnp.asarray(pcdf),
         kpkt_diffusion_dt=f32(0.0),
+            rf_lognu_min=f32(np.log(1e14)),
+            rf_dlognu=f32((np.log(5e15) - np.log(1e14)) / 64),
     )
     nlevels = 3
     tables = make_tables(ncells=1, rmax=0.2, levelpop=1.0,

