@@ -77,6 +77,13 @@ class SimConfig:
     radfield_nbins: int = 64  # RADFIELDBINCOUNT analogue
     # polarised electron scattering (Stokes Q/U tracking; Bulla+2015)
     polarization_on: bool = False
+    # virtual packets toward fixed observer directions (vpkt.cc):
+    # every re-emission / electron scatter peels one contribution per
+    # observer, attenuated by a ray-march through the binned opacities
+    vpkt_on: bool = False
+    vpkt_obs: tuple = ((0.0, 0.0, 1.0),)  # observer unit vectors
+    vpkt_tau_max: float = 10.0  # early-exit optical-depth cut
+    vpkt_nnubins: int = 200
     sf_points: int = 384  # Spencer-Fano energy grid size (SFPTS)
     sf_emin_ev: float = 1.0
     sf_emax_ev: float = 3000.0

@@ -52,6 +52,11 @@ from .transport.kernel import (TransportParams, make_planck_table,
 from .units import Units
 
 
+def _unit_rows(dirs) -> np.ndarray:
+    d = np.atleast_2d(np.asarray(dirs, np.float64))
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+
 class Simulation:
     """One single-host simulation (optionally sharded across local
     devices via parallel.py)."""
@@ -117,7 +122,8 @@ class Simulation:
                     ncoord=self._grid_static[1],
                     relativistic=cfg.use_relativistic_doppler,
                     detailed=self.detailed,
-                    polarization=cfg.polarization_on))
+                    polarization=cfg.polarization_on,
+                    vpkt=cfg.vpkt_on))
 
     def _device_recover(self):
         """Reset the JAX backend after a device/worker crash and
@@ -251,6 +257,15 @@ class Simulation:
             rf_lognu_min=f32(np.log(cfg.nu_min_r)),
             rf_dlognu=f32((np.log(cfg.nu_max_r) - np.log(cfg.nu_min_r))
                           / max(cfg.radfield_nbins, 1)),
+            vpkt_obs=jnp.asarray(_unit_rows(cfg.vpkt_obs), f32),
+            vpkt_t_edges=jnp.asarray(
+                np.append(self.ts.start, self.ts.start[-1]
+                          + self.ts.width[-1]) / self.units.tmin, f32),
+            vpkt_lognu_min=f32(np.log(cfg.nu_min_r)),
+            vpkt_dlognu=f32((np.log(cfg.nu_max_r)
+                             - np.log(cfg.nu_min_r))
+                            / max(cfg.vpkt_nnubins, 1)),
+            vpkt_tau_max=f32(cfg.vpkt_tau_max),
         )
 
     def _tables(self, tmid: Optional[float] = None) -> dict:
@@ -326,6 +341,19 @@ class Simulation:
                 pad(np.cumsum(w_fb, axis=1).astype(np.float32)))
             tables["kp_w_collion"] = jnp.asarray(
                 pad(np.cumsum(w_ci, axis=1).astype(np.float32)))
+
+            if self.cfg.vpkt_on:
+                # binned line expansion opacity for the vpkt ray-march
+                # (uses the bf table's log-nu binning)
+                nbins_bf = 1024
+                dln = (np.log(self.cfg.nu_max_r)
+                       - np.log(self.cfg.nu_min_r)) / nbins_bf
+                tables["chi_line_exp"] = jnp.asarray(pad(
+                    ma_mod.line_expansion_opacity(
+                        ad, levelpops, t_mid_s,
+                        self.units.time_to_sim(t_mid_s),
+                        float(np.log(self.cfg.nu_min_r)), dln,
+                        nbins_bf).astype(np.float32)))
 
             # bound-free opacity tables
             bft = photoion_mod.build_bf_opacity_tables(
@@ -473,7 +501,10 @@ class Simulation:
         rf_nbins = (self.cfg.radfield_nbins
                     if (self.detailed and self.cfg.multibin_radfield_on)
                     else 0)
-        est = zero_estimators(self.grid.nmodel, rf_nbins)
+        vp_shape = ((len(self.cfg.vpkt_obs), self.ts.n,
+                     self.cfg.vpkt_nnubins)
+                    if self.cfg.vpkt_on else None)
+        est = zero_estimators(self.grid.nmodel, rf_nbins, vp_shape)
         chunks = 0
         iters_done = 0
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
@@ -498,7 +529,7 @@ class Simulation:
                     if snap is None:
                         pk = from_numpy(to_numpy(self.packets))
                         est = zero_estimators(self.grid.nmodel,
-                                              rf_nbins)
+                                              rf_nbins, vp_shape)
                         compact_stack, snap_stack = [], []
                     else:
                         pk = from_numpy(snap[0])
@@ -574,6 +605,10 @@ class Simulation:
             if k in est_np:
                 self.est_prev[k] = est_np[k]
         self.deltat_prev = float(self.ts.width[nts])
+        if "vpkt_I" in est_np:
+            if not hasattr(self, "vspec_I"):
+                self.vspec_I = np.zeros_like(est_np["vpkt_I"])
+            self.vspec_I = self.vspec_I + est_np["vpkt_I"]
         self._record_deposition(nts, est_np)
 
         if verbose:
@@ -785,6 +820,11 @@ class Simulation:
                 names, self.cfg.nu_min_r, self.cfg.nu_max_r)
         with open(os.path.join(out, "deposition.json"), "w") as f:
             json.dump(self.dep_log, f, indent=1)
+        if getattr(self, "vspec_I", None) is not None:
+            spectra_mod.write_vspec(
+                os.path.join(out, "vspecpol.out"), self.ts,
+                self.vspec_I * self.units.e0, self.cfg.nu_min_r,
+                self.cfg.nu_max_r)
         if getattr(self, "_radfield_binned", None) is not None:
             radfield_mod.write_radfield_file(
                 os.path.join(out, "radfield.out"),

@@ -100,6 +100,42 @@ def _planck_Jnu(nu, T, W):
     return W * np.where(np.isfinite(b), b, 0.0)
 
 
+def sobolev_tau(ad: AtomicData, levelpops: np.ndarray,
+                t_mid: float) -> np.ndarray:
+    """Sobolev optical depths [ncells, nlines] at epoch t_mid
+    (get_tau_sobolev, atomic.cc:40-55)."""
+    nl = np.asarray(levelpops, np.float64)
+    lo, up = ad.line_lower, ad.line_upper
+    B_ul = CLIGHTSQUAREDOVERTWOH / ad.line_nu**3 * ad.line_A
+    B_lu = (ad.level_g[up] / ad.level_g[lo]) * B_ul
+    return np.maximum((B_lu[None, :] * nl[:, lo]
+                       - B_ul[None, :] * nl[:, up])
+                      * HCLIGHTOVERFOURPI * t_mid, 0.0)
+
+
+def line_expansion_opacity(ad: AtomicData, levelpops: np.ndarray,
+                           t_mid_s: float, t_mid_sim: float,
+                           lognu_min: float, dlognu: float,
+                           nbins: int) -> np.ndarray:
+    """Binned line expansion opacity per sim length [ncells, nbins]:
+      chi_bin = sum_{lines in bin} (1 - e^-tau_i) * nu_i
+                / (dnu_bin * t_sim)
+    — the Eastman & Pinto (1993) binned treatment of the line forest,
+    used here for the virtual-packet ray-march (the real-packet
+    transport keeps the exact per-line Sobolev walk)."""
+    tau = sobolev_tau(ad, levelpops, t_mid_s)
+    ibin = ((np.log(np.maximum(ad.line_nu, 1.0)) - lognu_min)
+            / dlognu).astype(np.int64)
+    ok = (ibin >= 0) & (ibin < nbins)
+    nu_lo = np.exp(lognu_min + ibin * dlognu)
+    dnu_bin = nu_lo * np.expm1(dlognu)
+    w = np.where(ok, -np.expm1(-tau) * ad.line_nu[None, :]
+                 / np.maximum(dnu_bin[None, :], 1e-30), 0.0)
+    out = np.zeros((levelpops.shape[0], nbins))
+    np.add.at(out.T, np.clip(ibin, 0, nbins - 1), w.T)
+    return out / max(t_mid_sim, 1e-30)
+
+
 def bound_bound_rates(ad: AtomicData, levelpops: np.ndarray,
                       Te: np.ndarray, TR: np.ndarray, W: np.ndarray,
                       nne: np.ndarray, t_mid: float,

@@ -317,6 +317,31 @@ def write_emission_absorption(path_em: str, path_abs: str, ts,
                     f.write(" ".join(row) + "\n")
 
 
+def write_vspec(path: str, ts: TimestepGrid, vspec_I_erg: np.ndarray,
+                nu_min: float, nu_max: float):
+    """vspecpol.out analogue (vpkt.cc:483-560 output): one block per
+    observer; rows = nu bins, columns = flux per timestep at 1 Mpc.
+    ``vspec_I_erg``: [nobs, nts, nnu] peeled energy per (time, nu)
+    bin [erg]."""
+    nobs, ntb, nnu = vspec_I_erg.shape
+    dlognu = (np.log(nu_max) - np.log(nu_min)) / nnu
+    nu_lower = np.exp(np.log(nu_min) + np.arange(nnu) * dlognu)
+    nu_delta = np.exp(np.log(nu_min)
+                      + (np.arange(nnu) + 1) * dlognu) - nu_lower
+    flux = (vspec_I_erg / ts.width[None, :ntb, None]
+            / nu_delta[None, None, :] / MPC2)
+    with open(path, "w") as f:
+        for o in range(nobs):
+            f.write(f"#observer {o}\n")
+            f.write(" ".join(["0.0"] + [f"{t / 86400.0:g}"
+                                        for t in ts.mid[:ntb]]) + "\n")
+            nu_c = nu_lower + 0.5 * nu_delta
+            for i in range(nnu):
+                row = [f"{nu_c[i]:g}"] + [f"{flux[o, n, i]:g}"
+                                          for n in range(ntb)]
+                f.write(" ".join(row) + "\n")
+
+
 def write_spectrum(path: str, spec: Spectra):
     """spec.out format: first line = 0 followed by times [days];
     then one row per frequency bin: nu_centre, flux per timestep

@@ -55,6 +55,11 @@ def make_params(line_nu=(), taufac=(), nlevels=2, **kw):
         kpkt_diffusion_dt=f32(0.0),
             rf_lognu_min=f32(np.log(1e14)),
             rf_dlognu=f32((np.log(5e15) - np.log(1e14)) / 64),
+            vpkt_obs=jnp.asarray([[0.0, 0.0, 1.0]], f32),
+            vpkt_t_edges=jnp.asarray([1.0, 10.0], f32),
+            vpkt_lognu_min=f32(np.log(1e14)),
+            vpkt_dlognu=f32((np.log(5e15) - np.log(1e14)) / 200),
+            vpkt_tau_max=f32(10.0),
     )
 
 

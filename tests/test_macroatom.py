@@ -118,6 +118,11 @@ def test_fluorescence_branching():
         kpkt_diffusion_dt=f32(0.0),
             rf_lognu_min=f32(np.log(1e14)),
             rf_dlognu=f32((np.log(5e15) - np.log(1e14)) / 64),
+            vpkt_obs=jnp.asarray([[0.0, 0.0, 1.0]], f32),
+            vpkt_t_edges=jnp.asarray([1.0, 10.0], f32),
+            vpkt_lognu_min=f32(np.log(1e14)),
+            vpkt_dlognu=f32((np.log(5e15) - np.log(1e14)) / 200),
+            vpkt_tau_max=f32(10.0),
     )
     tables = make_tables(ncells=1, rmax=0.2, levelpop=1.0,
                          nlevels=nlevels, nlines=nlines)
@@ -186,6 +191,11 @@ def test_ma_internal_jump_cascade():
         kpkt_diffusion_dt=f32(0.0),
             rf_lognu_min=f32(np.log(1e14)),
             rf_dlognu=f32((np.log(5e15) - np.log(1e14)) / 64),
+            vpkt_obs=jnp.asarray([[0.0, 0.0, 1.0]], f32),
+            vpkt_t_edges=jnp.asarray([1.0, 10.0], f32),
+            vpkt_lognu_min=f32(np.log(1e14)),
+            vpkt_dlognu=f32((np.log(5e15) - np.log(1e14)) / 200),
+            vpkt_tau_max=f32(10.0),
     )
     nlevels = 3
     tables = make_tables(ncells=1, rmax=0.2, levelpop=1.0,
