@@ -16,6 +16,7 @@ from .constants import DAY, GRID_SPHERICAL1D, MEV, H
 
 TIMESTEP_LOGARITHMIC = 0
 TIMESTEP_CONSTANT = 1
+TIMESTEP_LOG_THEN_CONSTANT = 2
 
 
 @dataclasses.dataclass
@@ -31,6 +32,7 @@ class SimConfig:
     tmin_days: float = 3.0
     tmax_days: float = 30.0
     timestep_method: int = TIMESTEP_LOGARITHMIC
+    max_timestep_days: float = 2.0  # cap for the hybrid method
 
     # --- frequency ranges (artisoptions: nu_min_r/nu_max_r;
     #     globals.cc defaults: 1e14 .. 5e15 Hz for optical packets)

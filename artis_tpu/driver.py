@@ -820,6 +820,12 @@ class Simulation:
                 names, self.cfg.nu_min_r, self.cfg.nu_max_r)
         with open(os.path.join(out, "deposition.json"), "w") as f:
             json.dump(self.dep_log, f, indent=1)
+        if getattr(self, "sf_solution", None) is not None:
+            from .output import write_nonthermal_file
+            write_nonthermal_file(
+                os.path.join(out, "nonthermalspec.out"),
+                self.sf_solution, self._sf_solver.en,
+                self.nts_done - 1, self.ts)
         if getattr(self, "vspec_I", None) is not None:
             spectra_mod.write_vspec(
                 os.path.join(out, "vspecpol.out"), self.ts,

@@ -98,6 +98,28 @@ def write_nlte_pops_file(path: str, ad, nlte_levelpops: np.ndarray,
                             f"{dep:.6e}\n")
 
 
+def write_nonthermal_file(path: str, sol, en_ev: np.ndarray, nts: int,
+                          ts: TimestepGrid):
+    """nonthermalspec.out analogue (nt_write_to_file,
+    nonthermal.cc:687-760): per-cell deposition-fraction summary and,
+    when stored, the degradation spectrum y(E)."""
+    tdays = ts.mid[nts] / DAY
+    with open(path, "w") as f:
+        f.write("#timestep tdays modelgridindex frac_heating "
+                "frac_ionization frac_excitation\n")
+        ncells = len(sol.frac_heating)
+        for mgi in range(ncells):
+            f.write(f"{nts} {tdays:.4f} {mgi} "
+                    f"{sol.frac_heating[mgi]:.6f} "
+                    f"{sol.frac_ionization[mgi]:.6f} "
+                    f"{sol.frac_excitation[mgi]:.6f}\n")
+        if sol.y is not None:
+            f.write("#modelgridindex energy_ev y\n")
+            for mgi in range(ncells):
+                for i, e in enumerate(en_ev):
+                    f.write(f"{mgi} {e:.3f} {sol.y[mgi, i]:.6e}\n")
+
+
 def write_packets_file(path: str, arrays_cgs: dict[str, np.ndarray],
                        extra: Optional[dict] = None):
     """packets00_XXXX.out-style text dump (write_packets,

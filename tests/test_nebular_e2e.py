@@ -97,3 +97,17 @@ def test_multibin_radfield_fitted(sim_done):
     # the fitted field must evaluate finitely at the line frequencies
     Jnu = rf.Jnu_at(sim_done.atomic_data.line_nu)
     assert np.all(np.isfinite(Jnu)) and np.all(Jnu >= 0)
+
+
+def test_output_files_written(sim_done, tmp_path):
+    """The full diagnostic file set is written (estimator/diagnostic
+    output inventory, SURVEY.md 2.5)."""
+    sim_done.out_dir = str(tmp_path)
+    sim_done.write_outputs()
+    import os
+    for fname in ("light_curve.out", "spec.out", "gamma_spec.out",
+                  "deposition.json", "nlte_pops.out", "radfield.out",
+                  "nonthermalspec.out", "emission.out",
+                  "absorption.out"):
+        p = tmp_path / fname
+        assert p.exists() and os.path.getsize(p) > 0, fname
