@@ -727,6 +727,14 @@ class Simulation:
             est_J_prev=(self.est_J_prev if self.est_J_prev is not None
                         else np.zeros(0)),
             deltat_prev=self.deltat_prev,
+            # cumulative / previous-timestep state that must survive a
+            # job-step restart (vspecpol accumulators, dep_log rows,
+            # previous estimators incl. radfield bins)
+            vspec_I=getattr(self, "vspec_I", np.zeros(0)),
+            dep_log_json=np.bytes_(
+                json.dumps(self.dep_log).encode()),
+            **{f"estprev_{k}": v
+               for k, v in (self.est_prev or {}).items()},
             **arrays)
         # keep only the latest two checkpoints (numeric timestep order)
         cps = sorted(
@@ -760,6 +768,14 @@ class Simulation:
         ej = data["est_J_prev"]
         self.est_J_prev = ej if ej.size else None
         self.deltat_prev = float(data["deltat_prev"])
+        if "vspec_I" in data.files and data["vspec_I"].size:
+            self.vspec_I = data["vspec_I"]
+        if "dep_log_json" in data.files:
+            self.dep_log = json.loads(bytes(data["dep_log_json"]).decode())
+        est_prev = {k[len("estprev_"):]: data[k] for k in data.files
+                    if k.startswith("estprev_")}
+        if est_prev:
+            self.est_prev = est_prev
         self.nts_done = nts
 
     # -- outputs ------------------------------------------------------

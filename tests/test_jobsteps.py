@@ -99,3 +99,24 @@ def test_device_crash_recovery(monkeypatch):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
     np.testing.assert_allclose(ref.est_J_prev, sim.est_J_prev,
                                rtol=1e-6)
+
+
+def test_checkpoint_preserves_cumulative_state(tmp_path):
+    """vspecpol accumulators, dep_log and previous-timestep estimators
+    survive a job-step restart (the reference restarts carry
+    vspecpol_*.tmp and the estimator state, sn3d.cc:466-512)."""
+    cfg = _cfg(vpkt_on=True, vpkt_nnubins=32)
+    model = make_toy_1d_model(nshells=8, mni56_msun=0.2, tmin=cfg.tmin)
+    out = str(tmp_path / "c")
+    sim = Simulation(model, cfg, out_dir=out)
+    sim.run(until=2, verbose=False, checkpoint=False)
+    sim.save_checkpoint(2)
+    assert sim.vspec_I.sum() > 0
+
+    model2 = make_toy_1d_model(nshells=8, mni56_msun=0.2, tmin=cfg.tmin)
+    sim2 = Simulation(model2, cfg, out_dir=out)
+    sim2.load_checkpoint(str(tmp_path / "c" / "checkpoint_ts2.npz"))
+    np.testing.assert_array_equal(sim2.vspec_I, sim.vspec_I)
+    assert sim2.dep_log == sim.dep_log
+    for k, v in sim.est_prev.items():
+        np.testing.assert_array_equal(sim2.est_prev[k], v, err_msg=k)
