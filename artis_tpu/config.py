@@ -171,3 +171,51 @@ def read_input_txt(path: str, cfg: Optional[SimConfig] = None) -> SimConfig:
     cfg.kpktdiffusion_timescale = kd[0]
     cfg.n_kpktdiffusion_timesteps = int(kd[1])
     return cfg
+
+
+def read_vpkt_txt(path: str, cfg: Optional[SimConfig] = None) -> SimConfig:
+    """Parse a reference-format vpkt.txt observer file
+    (read_parameterfile_vpkt, vpkt.cc:667-770): number of observers,
+    their cos(theta) list, their phi list [degrees], then the
+    opacity-exclusion / time-window / frequency-range sections (the
+    latter configure the reference's compile-time binned outputs and
+    map onto vpkt_tau_max / vpkt_nnubins here).
+
+    Observers are placed in the syn_dir = z frame: direction =
+    (sin th cos phi, sin th sin phi, cos th)."""
+    import numpy as np
+
+    cfg = cfg or SimConfig()
+    with open(path) as f:
+        toks = f.read().split()
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        out = toks[pos:pos + n]
+        pos += n
+        return out
+
+    nobs = int(take(1)[0])
+    cth = np.clip([float(x) for x in take(nobs)], -0.9999, 0.9999)
+    phi = np.deg2rad([float(x) for x in take(nobs)])
+    sth = np.sqrt(1.0 - cth**2)
+    cfg.vpkt_on = True
+    cfg.vpkt_obs = tuple(
+        (float(sth[i] * np.cos(phi[i])), float(sth[i] * np.sin(phi[i])),
+         float(cth[i])) for i in range(nobs))
+    # opacity-exclusion spectra list (only the all-opacities spectrum
+    # is produced here)
+    if int(take(1)[0]) == 1:
+        nspectra = int(take(1)[0])
+        take(nspectra)
+    # time window override
+    override, _tmin_d, _tmax_d = take(3)
+    # custom frequency ranges: skipped (full [nu_min_r, nu_max_r] grid)
+    if pos < len(toks) and int(take(1)[0]) == 1:
+        nrange = int(take(1)[0])
+        take(2 * nrange)
+    # remaining optional fields: max tau cut
+    if pos < len(toks):
+        cfg.vpkt_tau_max = float(toks[pos])
+    return cfg

@@ -82,3 +82,21 @@ def test_vpkt_detailed_mode_smoke():
     sim.run(verbose=False, checkpoint=False)
     assert np.all(np.isfinite(sim.vspec_I))
     assert sim.vspec_I.sum() > 0
+
+
+def test_read_vpkt_txt(tmp_path):
+    """Reference-format vpkt.txt observer file (read_parameterfile_vpkt,
+    vpkt.cc:667-770)."""
+    from artis_tpu.config import read_vpkt_txt
+
+    p = tmp_path / "vpkt.txt"
+    p.write_text("2\n0.5 -0.5\n0.0 90.0\n1\n2\n0 1\n1 10.0 30.0\n0\n")
+    cfg = read_vpkt_txt(str(p))
+    assert cfg.vpkt_on
+    assert len(cfg.vpkt_obs) == 2
+    d0, d1 = np.asarray(cfg.vpkt_obs[0]), np.asarray(cfg.vpkt_obs[1])
+    np.testing.assert_allclose(np.linalg.norm(d0), 1.0, atol=1e-12)
+    np.testing.assert_allclose(d0[2], 0.5, atol=1e-12)
+    np.testing.assert_allclose(d1[2], -0.5, atol=1e-12)
+    # second observer at phi=90 deg: direction in the y-z plane
+    np.testing.assert_allclose(d1[0], 0.0, atol=1e-12)
