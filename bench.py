@@ -80,6 +80,19 @@ def main():
             sys.stderr.write(f"bench attempt {attempt} (npkts={npkts}) "
                              f"failed: {e}\n")
             time.sleep(120)
+    # TPU unreachable: fall back to the host CPU so the round still
+    # records a real measurement (clearly labeled as the fallback)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["BENCH_NPKTS"] = "100000"
+        out = run_bench()
+        out["metric"] = ("packet-events/s CPU-FALLBACK (TPU tunnel "
+                         "down; grey rpkt+gamma loop)")
+        out["error"] = str(last_err)[:200]
+        print(json.dumps(out))
+        return
+    except Exception as e2:  # noqa: BLE001
+        last_err = e2
     print(json.dumps({
         "metric": "packet-events/s/chip (grey rpkt+gamma loop)",
         "value": 0.0, "unit": "events/s", "vs_baseline": 0.0,
