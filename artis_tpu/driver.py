@@ -836,6 +836,13 @@ class Simulation:
                 names, self.cfg.nu_min_r, self.cfg.nu_max_r)
         with open(os.path.join(out, "deposition.json"), "w") as f:
             json.dump(self.dep_log, f, indent=1)
+        # final packet dump (write_packets, packet.cc:152-196) so the
+        # standalone tools/exspec.py can re-bin the run
+        from .output import write_packets_file
+        arr = self.escaped_arrays_cgs()
+        arr["cell"] = to_numpy(self.packets)["cell"]
+        arr["nscatterings"] = to_numpy(self.packets)["nscatterings"]
+        write_packets_file(os.path.join(out, "packets00_0000.out"), arr)
         if getattr(self, "sf_solution", None) is not None:
             from .output import write_nonthermal_file
             write_nonthermal_file(

@@ -1,0 +1,42 @@
+"""Standalone exspec CLI (tools/exspec.py): the reference's second
+binary — rebuild spectra/light curves from the packet dumps of a
+finished run and match the in-driver spectra."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from artis_tpu import SimConfig, Simulation, make_toy_1d_model
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_exspec_cli_matches_driver(tmp_path):
+    cfg = SimConfig(npkts=800, ntimesteps=4, tmin_days=2.0,
+                    tmax_days=12.0, ftstep=4, opacity_case=0,
+                    grey_op=0.2, seed=9)
+    model = make_toy_1d_model(nshells=8, mni56_msun=0.3, tmin=cfg.tmin)
+    out = str(tmp_path)
+    sim = Simulation(model, cfg, out_dir=out)
+    sim.run(verbose=False, checkpoint=False)
+
+    driver_lc = np.loadtxt(tmp_path / "light_curve.out")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "exspec.py"), out,
+         "--tmin-days", "2.0", "--tmax-days", "12.0",
+         "--ntimesteps", "4"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert res.returncode == 0, res.stderr
+    assert "escaped r-packets" in res.stdout
+
+    cli_lc = np.loadtxt(tmp_path / "light_curve.out")
+    # identical time grid and luminosities (same packets, same binning)
+    np.testing.assert_allclose(cli_lc[:, 0], driver_lc[:, 0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(cli_lc[:, 1], driver_lc[:, 1],
+                               rtol=1e-5)
+    assert (tmp_path / "spec.out").exists()
