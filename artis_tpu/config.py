@@ -67,6 +67,12 @@ class SimConfig:
     # Spencer-Fano non-thermal electron solver (NT_ON; requires
     # opacity_case 4). When off, all deposition thermalises.
     nonthermal_on: bool = False
+    # NT excitation transport channel (NT_EXCITATION_ON): NT lepton
+    # energy can activate a macro-atom at the upper level of a sampled
+    # excitation line. The reference's do_ntlepton currently hardcodes
+    # frac_excitation = 0 (nonthermal.cc:1898), so this defaults off;
+    # when off, the excitation fraction thermalises (matches upstream).
+    nt_excitation_on: bool = False
     # NLTE level populations (statistical-equilibrium rate matrix per
     # element, nltepop.cc analogue). Applies after num_lte_timesteps;
     # requires opacity_case 4.
@@ -85,7 +91,16 @@ class SimConfig:
     vpkt_on: bool = False
     vpkt_obs: tuple = ((0.0, 0.0, 1.0),)  # observer unit vectors
     vpkt_tau_max: float = 10.0  # early-exit optical-depth cut
+    # vpkt are not created from cells whose grey depth exceeds this
+    # (cell_is_optically_thick_vpkt, vpkt.cc:784-796); <0 = inherit
+    # cell_is_optically_thick from input.txt
+    vpkt_thickcell_tau: float = -1.0
     vpkt_nnubins: int = 200
+    # velocity-plane image grid (vpkt_grid, vpkt.cc:441-560)
+    vpkt_vgrid_on: bool = False
+    vpkt_vgrid_tmin_d: float = 0.0
+    vpkt_vgrid_tmax_d: float = 1e30
+    vpkt_vgrid_lambda_aa: tuple = ()  # (lambda_min, lambda_max) pairs [A]
     sf_points: int = 384  # Spencer-Fano energy grid size (SFPTS)
     sf_emin_ev: float = 1.0
     sf_emax_ev: float = 3000.0
@@ -215,7 +230,27 @@ def read_vpkt_txt(path: str, cfg: Optional[SimConfig] = None) -> SimConfig:
     if pos < len(toks) and int(take(1)[0]) == 1:
         nrange = int(take(1)[0])
         take(2 * nrange)
-    # remaining optional fields: max tau cut
+    # thick-cell override line: "overrride_thickcell_tau tau" — two
+    # tokens that come BEFORE tau_max_vpkt (vpkt.cc:784-796)
+    if pos + 1 < len(toks):
+        override_thick, thick_tau = take(2)
+        if int(override_thick) == 1:
+            cfg.vpkt_thickcell_tau = float(thick_tau)
+    # maximum optical depth: vpkt discarded past this (vpkt.cc:797)
     if pos < len(toks):
-        cfg.vpkt_tau_max = float(toks[pos])
+        cfg.vpkt_tau_max = float(take(1)[0])
+    # velocity-grid-map flag + optional time range / wavelength ranges
+    # (vpkt.cc:801-834); parsed for completeness, image grid configured
+    # via vpkt_vgrid_on
+    if pos < len(toks) and int(take(1)[0]) == 1:
+        cfg.vpkt_vgrid_on = True
+        if pos + 1 < len(toks):
+            tmin_d, tmax_d = take(2)
+            cfg.vpkt_vgrid_tmin_d = float(tmin_d)
+            cfg.vpkt_vgrid_tmax_d = float(tmax_d)
+        if pos < len(toks):
+            nrg = int(take(1)[0])
+            rng_l = [float(x) for x in take(2 * nrg)]
+            cfg.vpkt_vgrid_lambda_aa = tuple(
+                (rng_l[2 * i], rng_l[2 * i + 1]) for i in range(nrg))
     return cfg

@@ -279,6 +279,32 @@ class Simulation:
             pirates = photoion_mod.compute_rates(
                 self.atomic_data, ph, g.Te, g.TR, g.W, g.nne,
                 radfield=rf_binned)
+            # Spencer-Fano solve BEFORE the population solve, so the
+            # NT ionisation rates feed the NLTE matrix (the reference
+            # orders solve_spencerfano before the population update in
+            # solve_Te_nltepops, update_grid.cc:775-887)
+            sol = None
+            nt_ion_rate_ion = None
+            if self.cfg.nonthermal_on:
+                if not hasattr(self, "_sf_solver"):
+                    from .plasma.nonthermal import SpencerFanoSolver
+                    self._sf_solver = SpencerFanoSolver(
+                        self.atomic_data, sfpts=self.cfg.sf_points,
+                        emin_ev=self.cfg.sf_emin_ev,
+                        emax_ev=self.cfg.sf_emax_ev)
+                sol = self._sf_solver.solve(
+                    g.nne, levelpops.astype(np.float64),
+                    pops.ion_numberdens)
+                self.sf_solution = sol
+                if (self.est_prev is not None
+                        and "dep_cell" in self.est_prev
+                        and self.deltat_prev > 0):
+                    # Y_nt[c, ion] = ion_rate_per_dep x local
+                    # deposition rate density (nt_ionization_ratecoeff,
+                    # nonthermal.cc:1684-1712)
+                    dep_rd = self._dep_rate_density(t_mid_s)
+                    nt_ion_rate_ion = (sol.ion_rate_per_dep
+                                       * dep_rd[:, None])
             if (self.cfg.nlte_pops_on
                     and self.nts_done >= self.cfg.num_lte_timesteps):
                 # statistical-equilibrium populations replace the
@@ -290,7 +316,8 @@ class Simulation:
                 nl_nlte = nltepop_mod.solve_nlte_pops(
                     self.atomic_data, ph, pirates,
                     levelpops.astype(np.float64), nd, g.Te, g.TR,
-                    g.W, g.nne, t_mid_s, radfield=rf_binned)
+                    g.W, g.nne, t_mid_s, radfield=rf_binned,
+                    nt_ion_rate_ion=nt_ion_rate_ion)
                 self.nlte_levelpops = nl_nlte
                 self.lte_levelpops = levelpops.astype(np.float64)
                 g.nne = np.where(
@@ -362,18 +389,9 @@ class Simulation:
             tables["chi_bf"] = jnp.asarray(pad(bft["chi_bf"]))
             tables["bf_sel_cum"] = jnp.asarray(pad(bft["bf_sel_cum"]))
 
-            # Spencer-Fano non-thermal deposition channels
+            # Spencer-Fano non-thermal deposition channels (solution
+            # computed above, before the population solve)
             if self.cfg.nonthermal_on:
-                if not hasattr(self, "_sf_solver"):
-                    from .plasma.nonthermal import SpencerFanoSolver
-                    self._sf_solver = SpencerFanoSolver(
-                        ad, sfpts=self.cfg.sf_points,
-                        emin_ev=self.cfg.sf_emin_ev,
-                        emax_ev=self.cfg.sf_emax_ev)
-                sol = self._sf_solver.solve(
-                    g.nne, levelpops.astype(np.float64),
-                    pops.ion_numberdens)
-                self.sf_solution = sol
                 # energy-weighted per-ion ionisation selection row
                 ionpots_ev = self.atomic_data.ion_ionpot / 1.6021772e-12
                 w_ion = (sol.ion_rate_per_dep * pops.ion_numberdens
@@ -382,6 +400,21 @@ class Simulation:
                     pad(sol.frac_ionization.astype(np.float32)))
                 tables["nt_ion_cum"] = jnp.asarray(
                     pad(np.cumsum(w_ion, axis=1).astype(np.float32)))
+                if (self.cfg.nt_excitation_on
+                        and sol.exc_frac is not None
+                        and sol.exc_frac.shape[1] > 0):
+                    # NT excitation channel: per-line cumulative
+                    # deposition fractions + upper-level targets
+                    # (do_ntlepton's NT_EXCITATION_ON branch,
+                    # nonthermal.cc:1936-1974)
+                    tables["nt_frac_exc"] = jnp.asarray(
+                        pad(sol.frac_excitation.astype(np.float32)))
+                    tables["nt_exc_cum"] = jnp.asarray(pad(
+                        np.cumsum(sol.exc_frac, axis=1)
+                        .astype(np.float32)))
+                    tables["nt_exc_upper"] = jnp.asarray(
+                        ad.line_upper[self._sf_solver.exc_lines]
+                        .astype(np.int32))
             return tables
         return grid_device_tables(self.grid, self.cfg, self.units)
 
@@ -631,13 +664,33 @@ class Simulation:
         norm = self.units.e0 / (deltaV * self.deltat_prev)
         ffheat = self.est_prev["ffheat"][:g.nmodel] * norm
         colheat = self.est_prev["colheat"][:g.nmodel] * norm
+        # non-thermal deposition heating: nt_frac_heating x
+        # deposition rate density (thermalbalance.cc:370-390); with the
+        # Spencer-Fano solution pending the first solve, the reference
+        # initialises frac_heating to 0.97 (nonthermal.cc:513)
+        dep_heating = None
+        if self.cfg.nonthermal_on and "dep_cell" in self.est_prev:
+            dep_rate_density = self._dep_rate_density(tmid)
+            sol = getattr(self, "sf_solution", None)
+            frac_heat = (sol.frac_heating if sol is not None
+                         else np.full(g.nmodel, 0.97))
+            dep_heating = frac_heat * dep_rate_density
         nd = lte_mod.elem_numberdens_from_massfracs(
             self.atomic_data, g.rho, g.elem_abund)
         Te = thermal_mod.solve_Te(
             self.atomic_data, self.phixs, nd, g.TR, g.W, ffheat,
             colheat, tmid, g.vol_init, g.tmin, self.cfg.mintemp,
-            self.cfg.maxtemp)
+            self.cfg.maxtemp, dep_heating=dep_heating)
         g.Te = np.where(g.rho_init > 0, Te, 0.0)
+
+    def _dep_rate_density(self, tmid: float) -> np.ndarray:
+        """Local energy deposition rate density per cell [erg/s/cm^3]
+        from the previous timestep's per-cell deposition estimator
+        (calculate_deposition_rate_density, nonthermal.cc:626)."""
+        g = self.grid
+        deltaV = g.vol_init * (tmid / g.tmin) ** 3
+        norm = self.units.e0 / (deltaV * self.deltat_prev)
+        return self.est_prev["dep_cell"][:g.nmodel] * norm
 
     def _maybe_compact(self, pk: PacketBatch, n_act: int, t2_f32,
                        stack: list):
@@ -852,7 +905,8 @@ class Simulation:
         if getattr(self, "vspec_I", None) is not None:
             spectra_mod.write_vspec(
                 os.path.join(out, "vspecpol.out"), self.ts,
-                self.vspec_I * self.units.e0, self.cfg.nu_min_r,
+                np.asarray(self.vspec_I, dtype=np.float64)
+                * self.units.e0, self.cfg.nu_min_r,
                 self.cfg.nu_max_r)
         if getattr(self, "_radfield_binned", None) is not None:
             radfield_mod.write_radfield_file(

@@ -47,7 +47,9 @@ MINPOP = 1e-40
 def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
                     elem_numberdens: np.ndarray, Te, TR, W, nne,
                     t_mid: float, nt_ion_rate: np.ndarray | None = None,
-                    radfield=None) -> np.ndarray:
+                    radfield=None,
+                    nt_ion_rate_ion: np.ndarray | None = None
+                    ) -> np.ndarray:
     """Solve statistical equilibrium for every element in every cell.
 
     Parameters
@@ -58,6 +60,11 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
     elem_numberdens : [ncells, nelements] element number densities.
     nt_ion_rate : optional [ncells, ncont] non-thermal ionisation rate
         per atom in the continuum's lower level [1/s].
+    nt_ion_rate_ion : optional [ncells, nions] non-thermal ionisation
+        rate coefficient Y_nt per atom of each ion [1/s]; applied from
+        EVERY level of the ion to the upper ion's ground state, as the
+        reference does (nltepop_matrix_add_nt_ionisation,
+        nltepop.cc:566-592).
 
     Returns [ncells, nlevels] float64 populations.
     """
@@ -113,6 +120,20 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
                 cup = cont_up[cm] - l0
                 add(cup, clo, ion_rate[:, cm])
                 add(clo, cup, rec_rate[:, cm])
+        if nt_ion_rate_ion is not None:
+            # non-thermal collisional ionisation: Y_nt from every level
+            # of ion i to the ground state of ion i+1
+            # (nltepop_matrix_add_nt_ionisation, nltepop.cc:566-592)
+            for i in range(i0, i1 - 1):
+                s_l = ad.ion_level_start[i] - l0
+                e_l = ad.ion_level_start[i + 1] - l0
+                up_gs = ad.ion_level_start[i + 1] - l0
+                from_idx = np.arange(s_l, e_l)
+                to_idx = np.full(e_l - s_l, up_gs)
+                rates = np.broadcast_to(
+                    nt_ion_rate_ion[:, i][:, None],
+                    (ncells, e_l - s_l))
+                add(to_idx, from_idx, np.ascontiguousarray(rates))
 
         M = Mflat.T.reshape(ncells, n, n)
         # particle conservation replaces the ground-level equation

@@ -130,6 +130,10 @@ class SFSolution:
     # cell's deposition rate density [erg/s/cm^3]
     ion_rate_per_dep: np.ndarray  # [ncells, nions]
     E_init_ev: float
+    # per-line deposition fraction of the NT excitation channel for
+    # the solver's exc_lines subset (frac_excitations_list,
+    # nonthermal.cc:2140-2258); rows sum to frac_excitation
+    exc_frac: Optional[np.ndarray] = None  # [ncells, nexc]
     y: Optional[np.ndarray] = None  # [ncells, SFPTS] (diagnostics)
 
 
@@ -264,6 +268,7 @@ class SpencerFanoSolver:
         frac_heat = np.zeros(ncells)
         frac_ion = np.zeros(ncells)
         frac_exc = np.zeros(ncells)
+        exc_frac = np.zeros((ncells, len(self.exc_lines)))
         ion_rate = np.zeros((ncells, ad.nions_total))
         ys = np.zeros((ncells, self.sfpts)) if store_y else None
 
@@ -278,15 +283,14 @@ class SpencerFanoSolver:
                 ys[c] = y
 
             # fractions (Kozma & Fransson 1992 eqs 13-15)
-            # excitation: sum_lines int y xs eps n_l dE / E_init
-            fe = 0.0
-            for k, l in enumerate(self.exc_lines):
-                nnlevel = levelpops[c][ad.line_lower[l]]
-                if nnlevel <= 0:
-                    continue
-                fe += (nnlevel * self.exc_eps_ev[k]
-                       * np.sum(self.exc_xs[k] * y) * de)
-            frac_exc[c] = fe / self.E_init_ev
+            # excitation: sum_lines int y xs eps n_l dE / E_init,
+            # kept per line for the transport-channel selection
+            # (frac_excitations_list, nonthermal.cc:2140-2258)
+            nnl_exc = np.maximum(
+                levelpops[c][ad.line_lower[self.exc_lines]], 0.0)
+            exc_frac[c] = (nnl_exc * self.exc_eps_ev
+                           * (self.exc_xs @ y) * de) / self.E_init_ev
+            frac_exc[c] = exc_frac[c].sum()
 
             fi = 0.0
             ion_lookup = {}
@@ -312,4 +316,5 @@ class SpencerFanoSolver:
                           frac_ionization=frac_ion,
                           frac_excitation=frac_exc,
                           ion_rate_per_dep=ion_rate,
-                          E_init_ev=self.E_init_ev, y=ys)
+                          E_init_ev=self.E_init_ev,
+                          exc_frac=exc_frac, y=ys)

@@ -86,24 +86,33 @@ def solve_Te(ad: AtomicData, ph: PhixsData, elem_numberdens: np.ndarray,
              TR: np.ndarray, W: np.ndarray, ffheat_est: np.ndarray,
              colheat_est: np.ndarray, t_mid: float, vol_tmin: np.ndarray,
              tmin: float, mintemp: float, maxtemp: float,
-             niter: int = 24) -> np.ndarray:
+             niter: int = 24,
+             dep_heating: np.ndarray | None = None) -> np.ndarray:
     """Bisection on heating(T_e) - cooling(T_e) = 0 for every cell.
 
     ffheat_est/colheat_est are normalised estimator values
-    [erg/s/cm^3]. Returns T_e clamped to [mintemp, maxtemp]; cells with
-    no bracket take the boundary with the smaller |imbalance|
-    (call_T_e_finder's fallback, thermalbalance.cc:470-516).
+    [erg/s/cm^3]. ``dep_heating`` is the non-thermal deposition heating
+    rate density per cell [erg/s/cm^3] — nt_frac_heating x
+    deposition_rate_density, the dominant nebular heating term
+    (calculate_heating_rates, thermalbalance.cc:370-390); it is
+    T_e-independent and enters the heating sum directly. Returns T_e
+    clamped to [mintemp, maxtemp]; cells with no bracket take the
+    boundary with the smaller |imbalance| (call_T_e_finder's fallback,
+    thermalbalance.cc:470-516).
     """
     ncells = elem_numberdens.shape[0]
     trat = t_mid / tmin
+    dep_h = (dep_heating if dep_heating is not None
+             else np.zeros(ncells))
 
     def imbalance(Te):
         pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
         nl = lte.level_populations(ad, pops, Te)
         rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne)
         # heating: ff (estimator) + bf (analytic, T_R based) + coll est
+        # + non-thermal deposition heating (thermalbalance.cc:370-390)
         bfheat = (nl[:, ph.cont_level] * rates.bfheating).sum(axis=1)
-        heating = ffheat_est + bfheat + colheat_est
+        heating = ffheat_est + bfheat + colheat_est + dep_h
         c_ff, c_fb, c_exc, c_ion = cooling_rates(ad, ph, nl, pops, Te,
                                                  rates, t_mid)
         # adiabatic cooling (thermalbalance.cc:382-389):

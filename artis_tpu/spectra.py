@@ -115,9 +115,14 @@ def build_spectra(escaped: dict[str, np.ndarray], ts: TimestepGrid,
     flux /= nu_delta[None, :]
     flux /= 4e12 * PI * PARSEC * PARSEC  # -> flux at 1 Mpc
 
-    # bolometric light curve over all escaping r-packet energy
+    # bolometric light curve over all escaping r-packet energy: only the
+    # arrival-time cut applies — packets scattered outside the spectral
+    # nu window still count (add_to_lc_res, light_curve.cc:38-43)
+    ok_t = (t_arrive > tmin) & (t_arrive < tmax)
+    it_t = np.clip(np.searchsorted(ts.start, t_arrive[ok_t],
+                                   side="right") - 1, 0, ts.n - 1)
     lum = np.zeros(ts.n)
-    np.add.at(lum, it, e_rf[ok])
+    np.add.at(lum, it_t, e_rf[ok_t])
     lum *= anglefactor
     lum /= ts.width
 

@@ -452,9 +452,11 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
     # NT leptons (do_ntlepton, nonthermal.cc:1877-1980): with the
     # Spencer-Fano solution, deposited energy splits into ionisation
-    # (-> macro-atom in the upper ion) and heating (-> k-packet); the
-    # NT excitation fraction is folded into heating for now. Without
-    # the solver (grey mode / nonthermal off) everything heats.
+    # (-> macro-atom in the upper ion), optionally excitation (-> MA
+    # at a sampled line's upper level; NT_EXCITATION_ON — upstream
+    # currently hardcodes frac_excitation = 0, nonthermal.cc:1898),
+    # and heating (-> k-packet). Without the solver (grey mode /
+    # nonthermal off) everything heats.
     m_lep = active & (pk.ptype == TYPE_NTLEPTON)
     if detailed:
         nt_fi = tables["nt_frac_ion"][mgi]
@@ -483,7 +485,38 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         lep_ion = lep_ion & (nt_lvl >= 0) & (tot_w_nt > 0)
         upd(lep_ion, ptype=TYPE_MA, ma_level=jnp.maximum(nt_lvl, 0),
             next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
-        upd(m_lep & ~lep_ion, ptype=TYPE_KPKT,
+        lep_exc = jnp.zeros_like(m_lep)
+        if "nt_exc_cum" in tables:
+            # NT excitation channel (do_ntlepton's NT_EXCITATION_ON
+            # branch, nonthermal.cc:1936-1974): with probability
+            # frac_excitation (given not ionisation), pick the line by
+            # binary search of the cumulative per-line deposition
+            # fractions and activate its upper level
+            nt_fe = tables["nt_frac_exc"][mgi]
+            nexc = tables["nt_exc_cum"].shape[1]
+            lep_exc = (m_lep & ~lep_ion
+                       & (u[:, 8] < nt_fi + nt_fe))
+            tot_w_exc = tables["nt_exc_cum"][mgi, nexc - 1]
+            target_exc = jnp.clip(u[:, 9], 0.0, 1.0) * tot_w_exc
+
+            def exc_body(_, lohi):
+                lo_i, hi_i = lohi
+                mid = (lo_i + hi_i) // 2
+                below = tables["nt_exc_cum"][
+                    mgi, jnp.clip(mid, 0, nexc - 1)] < target_exc
+                return (jnp.where(below, mid + 1, lo_i),
+                        jnp.where(below, hi_i, mid))
+
+            exclo, _ = jax.lax.fori_loop(
+                0, 12, exc_body,
+                (jnp.zeros_like(pk.cell),
+                 jnp.full_like(pk.cell, nexc - 1)))
+            exc_upper = tables["nt_exc_upper"][
+                jnp.clip(exclo, 0, nexc - 1)]
+            lep_exc = lep_exc & (tot_w_exc > 0)
+            upd(lep_exc, ptype=TYPE_MA, ma_level=exc_upper,
+                next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
+        upd(m_lep & ~lep_ion & ~lep_exc, ptype=TYPE_KPKT,
             nscatterings=jnp.int32(0))
     else:
         upd(m_lep, ptype=TYPE_KPKT, nscatterings=jnp.int32(0))

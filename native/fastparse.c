@@ -63,8 +63,9 @@ long fastparse_doubles(const char *path, double *out, long maxn) {
 long fastparse_count(const char *path) {
     FILE *f = fopen(path, "rb");
     if (!f) return -1;
-    fseek(f, 0, SEEK_END);
+    if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -1; }
     long size = ftell(f);
+    if (size < 0) { fclose(f); return -1; }
     rewind(f);
     char *buf = (char *)malloc((size_t)size + 1);
     if (!buf) { fclose(f); return -1; }

@@ -57,6 +57,7 @@ def main():
 
     from artis_tpu import spectra as spectra_mod
     from artis_tpu.config import SimConfig
+    from artis_tpu.constants import CLIGHT_PROP
     from artis_tpu.packets import TYPE_RPKT
     from artis_tpu.timesteps import build_timesteps
 
@@ -71,9 +72,18 @@ def main():
     packs = {k: np.concatenate([np.asarray(a[k]) for a in arrays])
              for k in arrays[0]}
 
-    esc_times = packs["escape_time"][packs["escape_time"] > 0]
-    tmin_d = args.tmin_days or max(esc_times.min() / 86400.0, 1e-3)
-    tmax_d = args.tmax_days or esc_times.max() / 86400.0 * 1.001
+    # default window from observer ARRIVAL times (escape_time minus the
+    # pos.dir/c projection, get_arrive_time vectors.h:146-152) — these
+    # are earlier than escape times, so deriving the window from escape
+    # times would silently drop the light-curve rise
+    esc_mask = packs["escape_time"] > 0
+    t_arrive = (packs["escape_time"]
+                - np.sum(packs["pos"] * packs["dirvec"], axis=1)
+                / CLIGHT_PROP)[esc_mask]
+    tmin_d = (args.tmin_days if args.tmin_days is not None
+              else max(t_arrive.min() / 86400.0, 1e-3))
+    tmax_d = (args.tmax_days if args.tmax_days is not None
+              else t_arrive.max() / 86400.0 * 1.001)
     cfg = SimConfig(ntimesteps=args.ntimesteps, tmin_days=tmin_d,
                     tmax_days=tmax_d)
     ts = build_timesteps(cfg)
