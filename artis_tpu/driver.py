@@ -28,7 +28,8 @@ import numpy as np
 
 from . import spectra as spectra_mod
 from .config import SimConfig
-from .constants import CLIGHT, DAY, GRID_SPHERICAL1D, LSUN, MEV, H
+from .constants import (CLIGHT, DAY, GRID_SPHERICAL1D, LSUN, MEV, H,
+                        PI, STEBO)
 from .decay import DecayModel
 from .grid import (Grid, assign_initial_temperatures, build_grid,
                    grid_device_tables, make_units)
@@ -63,10 +64,19 @@ class Simulation:
 
     def __init__(self, model: Model, cfg: SimConfig,
                  out_dir: Optional[str] = None, atomic_data=None,
-                 phixs_data: Optional[PhixsData] = None):
+                 phixs_data: Optional[PhixsData] = None,
+                 n_devices: Optional[int] = None, mesh=None):
         self.cfg = cfg
         self.model = model
         self.atomic_data = atomic_data
+        # multi-device SPMD: packets sharded over the mesh "dp" axis,
+        # estimators psum'ed per chunk (parallel.py; the analogue of
+        # the reference's rank-private packets + mpi_reduce_estimators,
+        # sn3d.cc:937-938, 316-384)
+        if mesh is None and n_devices is not None and n_devices > 1:
+            from . import parallel as parallel_mod
+            mesh = parallel_mod.make_mesh(n_devices)
+        self.mesh = mesh
         # opacity_case 4 = detailed (lines/bf/MA); 5 = grey with the
         # Ye-dependent Tanaka kappa table (kilonova mode, grid.cc
         # calculate_kappagrey case 5) — grey transport, not detailed
@@ -95,6 +105,11 @@ class Simulation:
         assign_initial_temperatures(self.grid, self.dm,
                                     float(self.ts.mid[0]), cfg)
 
+        if self.mesh is not None:
+            from . import parallel as parallel_mod
+            self.packets = parallel_mod.shard_batch(
+                parallel_mod.pad_batch_to(self.packets, self.mesh.size),
+                self.mesh)
         self.params = self._build_params()
         self.base_key = make_base_key(cfg.seed)
         self._grid_static = ("spherical" if model.ndim == 1 else "uniform",
@@ -116,6 +131,19 @@ class Simulation:
 
     def _make_step_fn(self):
         cfg = self.cfg
+        if self.mesh is not None:
+            from . import parallel as parallel_mod
+            return parallel_mod.make_sharded_chunk_step(
+                self.mesh,
+                grid_type=self._grid_static[0],
+                ncoord=self._grid_static[1],
+                nmodel=self.grid.nmodel,
+                rf_nbins=self._rf_nbins(),
+                vp_shape=self._vp_shape(),
+                relativistic=cfg.use_relativistic_doppler,
+                detailed=self.detailed,
+                polarization=cfg.polarization_on,
+                vpkt=cfg.vpkt_on)
         return jax.jit(
             partial(run_timestep_chunk,
                     grid_type=self._grid_static[0],
@@ -124,6 +152,33 @@ class Simulation:
                     detailed=self.detailed,
                     polarization=cfg.polarization_on,
                     vpkt=cfg.vpkt_on))
+
+    def _rf_nbins(self) -> int:
+        return (self.cfg.radfield_nbins
+                if (self.detailed and self.cfg.multibin_radfield_on)
+                else 0)
+
+    def _vp_shape(self):
+        return ((len(self.cfg.vpkt_obs), self.ts.n,
+                 self.cfg.vpkt_nnubins)
+                if self.cfg.vpkt_on else None)
+
+    def _place_tables(self, tables: dict) -> dict:
+        """Replicate the per-timestep tables over the mesh (the
+        analogue of the reference's node-shared read-only windows,
+        SURVEY.md §2.2)."""
+        if self.mesh is not None:
+            from . import parallel as parallel_mod
+            return parallel_mod.replicate(tables, self.mesh)
+        return tables
+
+    def _place_batch(self, pk: PacketBatch) -> PacketBatch:
+        """Re-place a packet batch on device(s): sharded over the mesh
+        when one is configured, default placement otherwise."""
+        if self.mesh is not None:
+            from . import parallel as parallel_mod
+            return parallel_mod.shard_batch(pk, self.mesh)
+        return pk
 
     def _device_recover(self):
         """Reset the JAX backend after a device/worker crash and
@@ -474,6 +529,11 @@ class Simulation:
             # balance T_e after the forced-LTE timesteps
             # (update_grid_cell's non-initial_iteration branch,
             # update_grid.cc:1126-1158)
+            # cells optically thick in the previous timestep keep the
+            # pure-LTE treatment even past num_lte_timesteps
+            # (update_grid.cc:1106 reads the thick flag set by the
+            # previous timestep's update_grid_cell)
+            thick_prev = (np.asarray(self.grid.thick) == 1)
             if (self.detailed and nts >= cfg.num_lte_timesteps
                     and self.est_prev is not None):
                 with np.errstate(invalid="ignore", divide="ignore"):
@@ -483,6 +543,18 @@ class Simulation:
                                  1e-30))
                 fit_fullspec_dilute(self.grid, cfg, J_cgs, nubar)
                 self._solve_thermal_balance(tmid)
+                # LTE pinning for previously-thick cells: TR = Te =
+                # TJ = T_J(J), W = 1 (update_grid.cc:1104-1125)
+                if thick_prev.any():
+                    g = self.grid
+                    with np.errstate(invalid="ignore"):
+                        T_J = (J_cgs * PI / STEBO) ** 0.25
+                    T_J = np.where(np.isfinite(T_J) & (T_J > 0),
+                                   T_J, g.TJ)
+                    T_J = np.clip(T_J, cfg.mintemp, cfg.maxtemp)
+                    for arr in (g.Te, g.TR, g.TJ):
+                        arr[thick_prev] = T_J[thick_prev]
+                    g.W[thick_prev] = 1.0
                 if (cfg.multibin_radfield_on
                         and "J_bin" in self.est_prev):
                     # per-bin (W, T_R) fits from the binned estimators
@@ -529,14 +601,23 @@ class Simulation:
                        * self.units.time_to_sim(float(self.ts.width[nts])))
         self.params = dataclasses.replace(
             self.params, kpkt_diffusion_dt=jnp.float32(dt_diff))
-        tables = self._tables(tmid)
+        tables = self._place_tables(self._tables(tmid))
+
+        # per-timestep grid-state rows in the reference's
+        # estimators_XXXX.out format (update_grid.cc:42-658), written
+        # with the state driving this timestep's transport (incl. the
+        # Saha nne computed in the table build, matching the
+        # reference's write order inside update_grid_cell)
+        if self.out_dir:
+            from .output import append_estimators
+            est_path = os.path.join(self.out_dir, "estimators_0000.out")
+            if nts == self.cfg.itstep and os.path.exists(est_path):
+                os.remove(est_path)
+            append_estimators(est_path, self.grid, nts, self.ts)
+
         pk = self.packets
-        rf_nbins = (self.cfg.radfield_nbins
-                    if (self.detailed and self.cfg.multibin_radfield_on)
-                    else 0)
-        vp_shape = ((len(self.cfg.vpkt_obs), self.ts.n,
-                     self.cfg.vpkt_nnubins)
-                    if self.cfg.vpkt_on else None)
+        rf_nbins = self._rf_nbins()
+        vp_shape = self._vp_shape()
         est = zero_estimators(self.grid.nmodel, rf_nbins, vp_shape)
         chunks = 0
         iters_done = 0
@@ -557,19 +638,22 @@ class Simulation:
                     # if the backend is still down it throws again and
                     # we wait longer
                     self._device_recover()
-                    tables = self._tables(tmid)
+                    tables = self._place_tables(self._tables(tmid))
                     t2_f32 = jnp.float32(t2_sim)
                     if snap is None:
-                        pk = from_numpy(to_numpy(self.packets))
+                        pk = self._place_batch(
+                            from_numpy(to_numpy(self.packets)))
                         est = zero_estimators(self.grid.nmodel,
                                               rf_nbins, vp_shape)
                         compact_stack, snap_stack = [], []
                     else:
-                        pk = from_numpy(snap[0])
+                        pk = self._place_batch(from_numpy(snap[0]))
                         est = {k: jnp.asarray(v)
                                for k, v in snap[1].items()}
-                        compact_stack = [(from_numpy(p), jnp.asarray(i))
-                                         for p, i in snap_stack]
+                        compact_stack = [
+                            (self._place_batch(from_numpy(p)),
+                             jnp.asarray(i))
+                            for p, i in snap_stack]
                     pending_restore = False
                 pk, est, n_active = self._step_fn(
                     pk, est, tables, self.params, t2_f32, nts == 0,
@@ -626,6 +710,7 @@ class Simulation:
             pk = jax.tree.map(
                 lambda a, s: a.at[idx_pad].set(s, mode="drop"),
                 parent, pk)
+            pk = self._place_batch(pk)
         self.packets = pk
 
         est_np = {k: float(v) if np.asarray(v).ndim == 0 else np.asarray(v)
@@ -700,9 +785,11 @@ class Simulation:
         compiles once; the persistent cache keeps it across runs)."""
         size = pk.n
         min_size = self.cfg.compact_min_size
+        ndev = self.mesh.size if self.mesh is not None else 1
         new_size = size
         while (new_size // 2 >= max(min_size, int(1.3 * n_act) + 1)
-               and new_size // 2 >= 1):
+               and new_size // 2 >= 1
+               and (new_size // 2) % ndev == 0):
             new_size //= 2
         if new_size >= size:
             return pk, stack
@@ -723,6 +810,7 @@ class Simulation:
             ptype=jnp.where(pad_rows, 32, small.ptype),
             e_cmf=jnp.where(pad_rows, 0.0, small.e_cmf),
             e_rf=jnp.where(pad_rows, 0.0, small.e_rf))
+        small = self._place_batch(small)
         stack.append((pk, idx_pad_j))
         return small, stack
 
@@ -808,7 +896,7 @@ class Simulation:
         nts = int(data["nts"])
         pk = {k[len("pkt_"):]: data[k] for k in data.files
               if k.startswith("pkt_")}
-        self.packets = from_numpy(pk)
+        self.packets = self._place_batch(from_numpy(pk))
         g = self.grid
         g.Te = data["grid_Te"]
         g.TR = data["grid_TR"]

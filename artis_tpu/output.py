@@ -42,7 +42,8 @@ def append_estimators(path: str, g: Grid, nts: int, ts: TimestepGrid,
             f.write(
                 f"timestep {nts} modelgridindex {mgi} titeration 0 "
                 f"TR {g.TR[mgi]:.1f} Te {g.Te[mgi]:.1f} W {g.W[mgi]:.4e} "
-                f"TJ {g.TJ[mgi]:.1f} grey_depth {0.0:.3f} "
+                f"TJ {g.TJ[mgi]:.1f} "
+                f"grey_depth {getattr(g, 'grey_depth', np.zeros(g.nmodel))[mgi]:.3f} "
                 f"thick {int(g.thick[mgi])} nne {g.nne[mgi]:.3e} "
                 f"tdays {tdays:.3f}\n")
             if heatingcooling is not None:

@@ -38,6 +38,7 @@ def update_thick_flags(g: Grid, cfg: SimConfig, nts: int, tmid: float):
         counts = np.bincount(g.cell_mgi, minlength=g.nmodel)
         radial_pos /= np.maximum(counts, 1)
     grey_depth = g.kappagrey * g.rho * (g.rmax * trat - radial_pos)
+    g.grey_depth = np.where(g.rho_init > 0, grey_depth, 0.0)
     thick = ((grey_depth > cfg.cell_is_optically_thick)
              & (nts < cfg.num_grey_timesteps))
     g.thick = np.where(g.rho_init > 0, thick.astype(np.int32), 0)

@@ -36,6 +36,9 @@ def main():
     cfg.npkts = int(os.environ.get("NPKTS", 50_000))
     if "FTSTEP" in os.environ:
         cfg.ftstep = int(os.environ["FTSTEP"])
+    # classic-variant temperature bounds (artisoptions_classic.h:57-58)
+    cfg.mintemp = 3500.0
+    cfg.maxtemp = 140_000.0
 
     model = read_1d_model(os.path.join(inputdir, "model.txt"),
                           tmin=cfg.tmin, data_path=cfg.data_path)
@@ -44,20 +47,38 @@ def main():
         model.elem_abund = read_abundances(ab_path, model.ncells)
 
     atomic = None
+    phixs = None
     if cfg.opacity_case >= 4:
         if os.path.exists(os.path.join(inputdir, "adata.txt")):
             atomic = read_atomic_data(inputdir)
             print(f"atomic dataset: {atomic.nlines} lines, "
                   f"{atomic.nlevels_total} levels")
+            if os.path.exists(os.path.join(inputdir, "phixsdata_v2.txt")):
+                from artis_tpu.phixs import read_phixs_data
+                phixs = read_phixs_data(inputdir, atomic)
+                print(f"phixs dataset: {phixs.ncont} continua")
         else:
             atomic = make_synthetic_atomic_data()
             print("using synthetic atomic dataset "
                   f"({atomic.nlines} lines)")
 
-    sim = Simulation(model, cfg, out_dir=outdir, atomic_data=atomic)
+    sim = Simulation(model, cfg, out_dir=outdir, atomic_data=atomic,
+                     phixs_data=phixs)
     print(f"etot = {sim.etot:.4e} erg over "
           f"[{cfg.tmin_days}, {cfg.tmax_days}] d; "
           f"{model.ncells} shells; opacity_case {cfg.opacity_case}")
+
+    # job-step resume (the reference's gridsave/packets .tmp restart,
+    # sn3d.cc:519-522): pick up from the latest checkpoint in outdir
+    cps = sorted(
+        (f for f in (os.listdir(outdir) if os.path.isdir(outdir) else ())
+         if f.startswith("checkpoint_ts") and f.endswith(".npz")),
+        key=lambda f: int(f[len("checkpoint_ts"):-len(".npz")]))
+    if cps and os.environ.get("RESUME", "1") != "0":
+        path = os.path.join(outdir, cps[-1])
+        sim.load_checkpoint(path)
+        print(f"resumed from {path} (next timestep {sim.nts_done})")
+
     sim.run()
     print(f"outputs written to {outdir}/")
 

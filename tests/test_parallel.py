@@ -80,6 +80,51 @@ def test_sharded_lte_update(sim):
     np.testing.assert_allclose(T, expect, rtol=1e-5)
 
 
+def _detailed_sim(n_devices=None):
+    from artis_tpu.atomic import make_synthetic_atomic_data
+    cfg = SimConfig(npkts=768, ntimesteps=4, tmin_days=3.0,
+                    tmax_days=14.0, ftstep=4, opacity_case=4,
+                    grey_op=0.1, seed=31, num_grey_timesteps=1,
+                    cell_is_optically_thick=8.0, compact_min_size=64)
+    model = make_toy_1d_model(nshells=8, tmin=cfg.tmin)
+    ad = make_synthetic_atomic_data()
+    s = Simulation(model, cfg, atomic_data=ad, n_devices=n_devices)
+    s.run(checkpoint=False, verbose=False)
+    return s
+
+
+def test_detailed_sim_sharded_matches_single_device():
+    """Full detailed-mode (opacity_case 4) Simulation through the real
+    driver on the 8-device mesh: per-timestep deposition log and final
+    grid temperatures must match the single-device run (counter-based
+    per-packet RNG makes transport sharding-invariant; estimator psum
+    ordering differs, so f32-level tolerance)."""
+    s1 = _detailed_sim()
+    s8 = _detailed_sim(n_devices=8)
+    assert s8.mesh is not None and s8.mesh.size == 8
+    # timestep 0 has no estimator feedback yet: transport must be
+    # sharding-invariant event for event (counter-based RNG)
+    d1, d8 = s1.dep_log[0], s8.dep_log[0]
+    assert d1["pellet_decays"] == d8["pellet_decays"]
+    assert d1["ma_activations"] == d8["ma_activations"]
+    assert d1["escounter"] == d8["escounter"]
+    # later timesteps feed f32 psum'ed estimators back through the
+    # grid solve; ulp-level Te differences flip individual sampled
+    # events and MC trajectories are chaotic, so later timesteps are
+    # only statistically identical (few-percent at 768 packets)
+    # (tolerances sized to the MC noise of two independent 768-packet
+    # realisations — J per cell carries ~10% noise -> Te ~2.5% 1sigma;
+    # a double-counted psum would show up as a ~68% Te error)
+    for d1, d8 in zip(s1.dep_log, s8.dep_log):
+        np.testing.assert_allclose(d8["gamma_dep_Lsun"],
+                                   d1["gamma_dep_Lsun"], rtol=0.05)
+        if d1["ma_activations"] > 100:
+            assert (abs(d8["ma_activations"] - d1["ma_activations"])
+                    <= 0.25 * d1["ma_activations"])
+    np.testing.assert_allclose(s8.grid.Te, s1.grid.Te, rtol=0.08)
+    np.testing.assert_allclose(s8.grid.TR, s1.grid.TR, rtol=0.08)
+
+
 def test_pad_batch_inert(sim):
     b = par.pad_batch_to(sim.packets, 7)
     assert b.n % 7 == 0
