@@ -383,37 +383,54 @@ class Simulation:
             tables = grid_device_tables(g, self.cfg, self.units,
                                         levelpops=levelpops,
                                         kff_base=kff_base)
-            mats = ma_mod.build_tables(
-                self.atomic_data, self._ma_static, levelpops,
-                g.Te, g.TR, g.W, g.nne, t_mid_s, ph=ph,
-                pirates=pirates, radfield=rf_binned)
             pad = lambda a: np.concatenate(
                 [a, np.zeros((1,) + a.shape[1:], a.dtype)])
-            tables["ma_proc_cum"] = jnp.asarray(pad(mats["proc_cum"]))
-            tables["ma_w_raddeexc"] = jnp.asarray(
-                pad(mats["w_raddeexc"]))
-            tables["ma_w_downsame"] = jnp.asarray(
-                pad(mats["w_downsame"]))
-            tables["ma_w_upsame"] = jnp.asarray(pad(mats["w_upsame"]))
-            tables["ma_w_radrecomb"] = jnp.asarray(
-                pad(mats["w_radrecomb"]))
-            tables["ma_w_downlower"] = jnp.asarray(
-                pad(mats["w_downlower"]))
-            tables["kp_w_collexc"] = jnp.asarray(
-                pad(mats["w_kcollexc"]))
+            # macro-atom tables built ON DEVICE (jitted, float32,
+            # chunked over the linelist — macroatom_device.py); the
+            # dummy padded cell row comes from padding the inputs
+            t_tab0 = _time.time()
+            if not hasattr(self, "_ma_builder"):
+                from .plasma.macroatom_device import DeviceTableBuilder
+                self._ma_builder = DeviceTableBuilder(
+                    self.atomic_data, self._ma_static, ph=ph)
+            pad1 = lambda a: np.concatenate([a, np.ones(1, a.dtype)])
+            pir_pad = dataclasses.replace(
+                pirates,
+                **{f.name: pad(getattr(pirates, f.name))
+                   for f in dataclasses.fields(pirates)})
+            rf_pad = rf_binned
+            if rf_binned is not None:
+                rf_pad = dataclasses.replace(
+                    rf_binned, W=pad(rf_binned.W),
+                    T_R=pad(rf_binned.T_R))
+            mats = self._ma_builder.build(
+                pad(levelpops), pad1(g.Te), pad1(g.TR), pad(g.W),
+                pad(g.nne), t_mid_s, pirates=pir_pad,
+                radfield=rf_pad)
+            jax.block_until_ready(mats["proc_cum"])
+            self._t_tables_ma = _time.time() - t_tab0
+            tables["ma_proc_cum"] = mats["proc_cum"]
+            tables["ma_w_raddeexc"] = mats["w_raddeexc"]
+            tables["ma_w_downsame"] = mats["w_downsame"]
+            tables["ma_w_upsame"] = mats["w_upsame"]
+            tables["ma_w_radrecomb"] = mats["w_radrecomb"]
+            tables["ma_w_downlower"] = mats["w_downlower"]
+            tables["kp_w_collexc"] = mats["w_kcollexc"]
 
             # k-packet fb / collisional-ionisation cooling rows
             # (calculate_cooling_rates, kpkt.cc:120-155)
             ad = self.atomic_data
             nl64 = levelpops.astype(np.float64)
             n_l_cont = nl64[:, ph.cont_level]
-            # upper-ion total populations per continuum
-            upion_pop = np.zeros((g.nmodel, ph.ncont))
-            for ci in range(ph.ncont):
-                i = ph.cont_upperion[ci]
-                s_l, e_l = (ad.ion_level_start[i],
-                            ad.ion_level_start[i + 1])
-                upion_pop[:, ci] = nl64[:, s_l:e_l].sum(axis=1)
+            # upper-ion total populations per continuum: segment-sum
+            # of level pops over each level's ion, gathered per
+            # continuum (vectorised; no per-continuum loop)
+            ion_of_level = np.repeat(
+                np.arange(ad.nions_total),
+                np.diff(ad.ion_level_start))
+            ionpop = np.zeros((g.nmodel, ad.nions_total))
+            np.add.at(ionpop.T, ion_of_level, nl64.T)
+            upion_pop = ionpop[:, ph.cont_upperion]
             w_fb = (pirates.bfcooling * upion_pop
                     * g.nne[:, None])
             eps_tr = (ad.level_energy[ph.cont_upperlevel]
@@ -736,7 +753,10 @@ class Simulation:
                   f"escaped={int(np.sum(np.asarray(pk.ptype) == 32)):8d}  "
                   f"gamma_dep={est_np['gamma_dep'] * e0 / self.deltat_prev / LSUN:9.3e} Lsun  "
                   f"escatters={int(est_np['escounter']):9d}  "
-                  f"({_time.time() - t_start:5.1f}s)")
+                  f"({_time.time() - t_start:5.1f}s"
+                  + (f"; tables {self._t_tables_ma:.1f}s"
+                     if hasattr(self, "_t_tables_ma") else "")
+                  + ")")
 
         self.nts_done = nts + 1
 

@@ -221,3 +221,68 @@ def test_ma_internal_jump_cascade():
     # to k-packet -> thermal re-emission; all processed in the end
     assert int(est["ma_deact_col"]) > 0
     assert np.all(np.asarray(out.ptype) != 13)  # no MA left behind
+
+
+def test_device_tables_match_host_build():
+    """The jitted float32 device table build (macroatom_device.py)
+    must reproduce the float64 host build to f32-cumsum tolerance,
+    with and without photoionisation channels."""
+    from artis_tpu.atomic import make_synthetic_atomic_data
+    from artis_tpu.phixs import make_hydrogenic_phixs
+    from artis_tpu.plasma import photoion
+    from artis_tpu.plasma.macroatom_device import DeviceTableBuilder
+
+    ad = make_synthetic_atomic_data()
+    ph = make_hydrogenic_phixs(ad)
+    st = ma.build_static(ad, ph)
+    rng = np.random.default_rng(7)
+    ncells = 5
+    nl = (rng.random((ncells, ad.nlevels_total)) * 1e8).astype(
+        np.float64)
+    Te = np.linspace(6000.0, 18000.0, ncells)
+    TR = np.linspace(7000.0, 20000.0, ncells)
+    W = np.linspace(0.1, 1.0, ncells)
+    nne = np.full(ncells, 1e8)
+    t_mid = 8e5
+    pirates = photoion.compute_rates(ad, ph, Te, TR, W, nne)
+
+    host = ma.build_tables(ad, st, nl, Te, TR, W, nne, t_mid,
+                           ph=ph, pirates=pirates)
+    dev = DeviceTableBuilder(ad, st, ph=ph, line_chunk=257).build(
+        nl, Te, TR, W, nne, t_mid, pirates=pirates)
+
+    for key in host:
+        a = np.asarray(host[key], np.float64)
+        b = np.asarray(dev[key], np.float64)
+        assert a.shape == b.shape, key
+        # global per-table scale: the f32 build keeps absolute error
+        # below ~1e-6 x the table's dynamic range; per-row relative
+        # accuracy is meaningless for rows 40 orders of magnitude
+        # below the sampling-relevant weights
+        scale = np.maximum(np.abs(a).max(), 1e-30)
+        err = np.abs(b - a) / scale
+        assert err.max() < 5e-4, (key, err.max())
+
+
+def test_device_tables_scale_smoke():
+    """HBM-scalability check (scaled-down for CI; the full
+    500-cell x 1e5-line case is exercised by bench.py --tables on
+    real hardware): a 3000-line x 64-cell build runs chunked and
+    produces finite, monotone cumulative rows."""
+    from artis_tpu.atomic import make_synthetic_atomic_data
+    from artis_tpu.plasma.macroatom_device import DeviceTableBuilder
+
+    ad = make_synthetic_atomic_data(
+        elements=((26, 3, 45), (27, 3, 45), (28, 3, 45)))
+    st = ma.build_static(ad)
+    ncells = 64
+    rng = np.random.default_rng(3)
+    nl = (rng.random((ncells, ad.nlevels_total)) * 1e7)
+    Te = np.full(ncells, 9000.0)
+    b = DeviceTableBuilder(ad, st, line_chunk=1024)
+    tabs = b.build(nl, Te, Te, np.ones(ncells), np.full(ncells, 1e8),
+                   1e6)
+    w = np.asarray(tabs["w_raddeexc"])
+    assert w.shape == (ncells, ad.nlines)
+    assert np.isfinite(w).all()
+    assert (np.diff(w, axis=1) >= -1e-3 * w.max()).all()
