@@ -83,6 +83,19 @@ class SimConfig:
     # fullspec dilute blackbody. Applies after num_lte_timesteps.
     multibin_radfield_on: bool = False
     radfield_nbins: int = 64  # RADFIELDBINCOUNT analogue
+    # detailed bf-rate estimators (DETAILED_BF_ESTIMATORS_ON,
+    # radfield.cc:764-828): photoionisation/bf-heating integrals and
+    # line radiative rates evaluate the RAW transport-accumulated
+    # binned J estimator (piecewise-constant J_nu) instead of the
+    # fitted per-bin dilute-Planck shape. Active when
+    # multibin_radfield_on.
+    detailed_bf_estimators: bool = True
+    # per-line emission/absorption counters -> linestat.out
+    # (sn3d.cc:62-84); detailed mode only
+    linestat_on: bool = True
+    # per-(cell, ion) energy-flow statistics (TRACK_ION_STATS,
+    # stats.h:12-45); off by default, matching the reference variants
+    track_ion_stats: bool = False
     # polarised electron scattering (Stokes Q/U tracking; Bulla+2015)
     polarization_on: bool = False
     # virtual packets toward fixed observer directions (vpkt.cc):

@@ -140,6 +140,7 @@ class Simulation:
                 nmodel=self.grid.nmodel,
                 rf_nbins=self._rf_nbins(),
                 vp_shape=self._vp_shape(),
+                nlines_stat=self._nlines_stat(),
                 relativistic=cfg.use_relativistic_doppler,
                 detailed=self.detailed,
                 polarization=cfg.polarization_on,
@@ -152,6 +153,11 @@ class Simulation:
                     detailed=self.detailed,
                     polarization=cfg.polarization_on,
                     vpkt=cfg.vpkt_on))
+
+    def _nlines_stat(self) -> int:
+        return (self.atomic_data.nlines
+                if (self.detailed and self.cfg.linestat_on
+                    and self.atomic_data is not None) else 0)
 
     def _rf_nbins(self) -> int:
         return (self.cfg.radfield_nbins
@@ -259,14 +265,24 @@ class Simulation:
             cont_uplvl = jnp.asarray(ph.cont_upperlevel, jnp.int32)
             cont_sigma = jnp.asarray(ph.cont_sigma, f32)
             cont_nuinc = f32(ph.nuincrement)
-            # NT ionisation target: ground level of the next ion up
+            # NT ionisation target: ground level of the next ion up;
+            # with Auger data, ground of ion+1+a (clamped at the
+            # element's top stage; nt_random_upperion,
+            # nonthermal.cc:1657-1676)
+            from .plasma.nonthermal import NT_MAX_AUGER_ELECTRONS
+            namax = NT_MAX_AUGER_ELECTRONS
             ntt = np.full(ad.nions_total, -1, np.int32)
+            ntta = np.full((ad.nions_total, namax + 1), -1, np.int32)
             for e_i in range(ad.nelements):
                 s_i, e_e = (ad.elem_ion_start[e_i],
                             ad.elem_ion_start[e_i + 1])
                 for i_i in range(s_i, e_e - 1):
                     ntt[i_i] = ad.ion_level_start[i_i + 1]
+                    for a_i in range(namax + 1):
+                        ntta[i_i, a_i] = ad.ion_level_start[
+                            min(i_i + 1 + a_i, e_e - 1)]
             nt_target = jnp.asarray(ntt, jnp.int32)
+            self._nt_target_auger = jnp.asarray(ntta, jnp.int32)
         else:
             line_nu = jnp.zeros(1, f32)
             taufac_lu = jnp.zeros(1, f32)
@@ -330,10 +346,29 @@ class Simulation:
                 g, self.atomic_data, self.units)
             t_mid_s = tmid if tmid is not None else float(self.ts.mid[0])
             ph = self.phixs
-            rf_binned = getattr(self, "_radfield_binned", None)
+            rf_fit = getattr(self, "_radfield_binned", None)
+            rf_raw = getattr(self, "_radfield_raw", None)
+            use_raw = (rf_raw is not None
+                       and self.cfg.detailed_bf_estimators)
+            rf_binned = rf_raw if use_raw else rf_fit
             pirates = photoion_mod.compute_rates(
                 self.atomic_data, ph, g.Te, g.TR, g.W, g.nne,
                 radfield=rf_binned)
+            if use_raw and rf_fit is not None:
+                # estimator-vs-fitted-field diagnostic: median ratio
+                # of the photoionisation rates over continua with a
+                # sampled field (logged per timestep; the comparison
+                # the reference gets from printing both gammaestimator
+                # and corrphotoioncoeff columns)
+                pir_fit = photoion_mod.compute_rates(
+                    self.atomic_data, ph, g.Te, g.TR, g.W, g.nne,
+                    radfield=rf_fit)
+                both = ((pirates.gamma_corr > 0)
+                        & (pir_fit.gamma_corr > 0))
+                self.gamma_est_over_fit = (
+                    float(np.median(pirates.gamma_corr[both]
+                                    / pir_fit.gamma_corr[both]))
+                    if both.any() else 1.0)
             # Spencer-Fano solve BEFORE the population solve, so the
             # NT ionisation rates feed the NLTE matrix (the reference
             # orders solve_spencerfano before the population update in
@@ -342,11 +377,22 @@ class Simulation:
             nt_ion_rate_ion = None
             if self.cfg.nonthermal_on:
                 if not hasattr(self, "_sf_solver"):
-                    from .plasma.nonthermal import SpencerFanoSolver
+                    from .plasma.nonthermal import (SpencerFanoSolver,
+                                                    read_collion,
+                                                    read_auger_data)
+                    colliondata = None
+                    dp = self.cfg.data_path
+                    if dp and os.path.exists(
+                            os.path.join(dp, "collion.txt")):
+                        colliondata = read_collion(dp)
+                        n_aug = read_auger_data(dp, colliondata)
+                        print(f"collion.txt: {len(colliondata)} shells"
+                              f", Auger data for {n_aug}")
                     self._sf_solver = SpencerFanoSolver(
                         self.atomic_data, sfpts=self.cfg.sf_points,
                         emin_ev=self.cfg.sf_emin_ev,
-                        emax_ev=self.cfg.sf_emax_ev)
+                        emax_ev=self.cfg.sf_emax_ev,
+                        colliondata=colliondata)
                 sol = self._sf_solver.solve(
                     g.nne, levelpops.astype(np.float64),
                     pops.ion_numberdens)
@@ -400,9 +446,14 @@ class Simulation:
                    for f in dataclasses.fields(pirates)})
             rf_pad = rf_binned
             if rf_binned is not None:
-                rf_pad = dataclasses.replace(
-                    rf_binned, W=pad(rf_binned.W),
-                    T_R=pad(rf_binned.T_R))
+                if hasattr(rf_binned, "J_bin"):
+                    rf_pad = dataclasses.replace(
+                        rf_binned, J_bin=pad(rf_binned.J_bin),
+                        T_R=pad(rf_binned.T_R))
+                else:
+                    rf_pad = dataclasses.replace(
+                        rf_binned, W=pad(rf_binned.W),
+                        T_R=pad(rf_binned.T_R))
             mats = self._ma_builder.build(
                 pad(levelpops), pad1(g.Te), pad1(g.TR), pad(g.W),
                 pad(g.nne), t_mid_s, pirates=pir_pad,
@@ -472,6 +523,15 @@ class Simulation:
                     pad(sol.frac_ionization.astype(np.float32)))
                 tables["nt_ion_cum"] = jnp.asarray(
                     pad(np.cumsum(w_ion, axis=1).astype(np.float32)))
+                if any(r.auger_g_accumulated > 0
+                       for r in self._sf_solver.collion):
+                    # Auger multi-electron upper-ion selection
+                    # (energy-weighted; nt_random_upperion,
+                    # nonthermal.cc:1657-1676)
+                    tables["nt_auger_cum"] = jnp.asarray(pad(
+                        np.cumsum(sol.ionenfrac_num_auger, axis=2)
+                        .astype(np.float32)))
+                    tables["nt_target_auger"] = self._nt_target_auger
                 if (self.cfg.nt_excitation_on
                         and sol.exc_frac is not None
                         and sol.exc_frac.shape[1] > 0):
@@ -592,6 +652,13 @@ class Simulation:
                     self._radfield_binned = \
                         radfield_mod.fit_bin_parameters(
                             Jb, nuJb, edges, cfg.mintemp, cfg.maxtemp)
+                    # detailed bf estimators: keep the raw binned J
+                    # as a piecewise-constant field (the analogue of
+                    # update_bfestimators, radfield.cc:764-828)
+                    if cfg.detailed_bf_estimators:
+                        self._radfield_raw = radfield_mod.RawBinnedField(
+                            nu_edges=edges, J_bin=Jb,
+                            T_R=self._radfield_binned.T_R)
             else:
                 update_temperatures_from_J(self.grid, cfg, J_cgs)
         if self.detailed:
@@ -630,12 +697,15 @@ class Simulation:
             est_path = os.path.join(self.out_dir, "estimators_0000.out")
             if nts == self.cfg.itstep and os.path.exists(est_path):
                 os.remove(est_path)
-            append_estimators(est_path, self.grid, nts, self.ts)
+            append_estimators(est_path, self.grid, nts, self.ts,
+                              heatingcooling=getattr(
+                                  self, "_heatcool", None))
 
         pk = self.packets
         rf_nbins = self._rf_nbins()
         vp_shape = self._vp_shape()
-        est = zero_estimators(self.grid.nmodel, rf_nbins, vp_shape)
+        est = zero_estimators(self.grid.nmodel, rf_nbins, vp_shape,
+                              nlines_stat=self._nlines_stat())
         chunks = 0
         iters_done = 0
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
@@ -660,8 +730,9 @@ class Simulation:
                     if snap is None:
                         pk = self._place_batch(
                             from_numpy(to_numpy(self.packets)))
-                        est = zero_estimators(self.grid.nmodel,
-                                              rf_nbins, vp_shape)
+                        est = zero_estimators(
+                            self.grid.nmodel, rf_nbins, vp_shape,
+                            nlines_stat=self._nlines_stat())
                         compact_stack, snap_stack = [], []
                     else:
                         pk = self._place_batch(from_numpy(snap[0]))
@@ -743,8 +814,22 @@ class Simulation:
         if "vpkt_I" in est_np:
             if not hasattr(self, "vspec_I"):
                 self.vspec_I = np.zeros_like(est_np["vpkt_I"])
+                self.vspec_Q = np.zeros_like(est_np["vpkt_I"])
+                self.vspec_U = np.zeros_like(est_np["vpkt_I"])
             self.vspec_I = self.vspec_I + est_np["vpkt_I"]
+            self.vspec_Q = self.vspec_Q + est_np.get(
+                "vpkt_Q", np.zeros_like(est_np["vpkt_I"]))
+            self.vspec_U = self.vspec_U + est_np.get(
+                "vpkt_U", np.zeros_like(est_np["vpkt_I"]))
         self._record_deposition(nts, est_np)
+        if self.out_dir and "line_em" in est_np:
+            from .output import (write_linestat_header,
+                                 append_linestat)
+            ls_path = os.path.join(self.out_dir, "linestat.out")
+            if nts == self.cfg.itstep or not os.path.exists(ls_path):
+                write_linestat_header(ls_path, self.atomic_data)
+            append_linestat(ls_path, est_np["line_em"],
+                            est_np["line_ab"])
 
         if verbose:
             e0 = self.units.e0
@@ -787,6 +872,11 @@ class Simulation:
             colheat, tmid, g.vol_init, g.tmin, self.cfg.mintemp,
             self.cfg.maxtemp, dep_heating=dep_heating)
         g.Te = np.where(g.rho_init > 0, Te, 0.0)
+        # diagnostic heating/cooling rows at the solved T_e
+        # (update_grid.cc:642-649)
+        self._heatcool = thermal_mod.heating_cooling_breakdown(
+            self.atomic_data, self.phixs, nd, Te, g.TR, g.W, ffheat,
+            colheat, tmid, dep_heating=dep_heating)
 
     def _dep_rate_density(self, tmid: float) -> np.ndarray:
         """Local energy deposition rate density per cell [erg/s/cm^3]
@@ -855,6 +945,8 @@ class Simulation:
             "cellcrossings": int(est["cellcrossings"]),
             "interactions": int(est["interactions"]),
             "iterations": int(est["iterations"]),
+            **({"gamma_est_over_fit": self.gamma_est_over_fit}
+               if hasattr(self, "gamma_est_over_fit") else {}),
         })
 
     # -- checkpoint / resume ------------------------------------------
@@ -892,6 +984,8 @@ class Simulation:
             # job-step restart (vspecpol accumulators, dep_log rows,
             # previous estimators incl. radfield bins)
             vspec_I=getattr(self, "vspec_I", np.zeros(0)),
+            vspec_Q=getattr(self, "vspec_Q", np.zeros(0)),
+            vspec_U=getattr(self, "vspec_U", np.zeros(0)),
             dep_log_json=np.bytes_(
                 json.dumps(self.dep_log).encode()),
             **{f"estprev_{k}": v
@@ -931,6 +1025,9 @@ class Simulation:
         self.deltat_prev = float(data["deltat_prev"])
         if "vspec_I" in data.files and data["vspec_I"].size:
             self.vspec_I = data["vspec_I"]
+            for k in ("vspec_Q", "vspec_U"):
+                if k in data.files and data[k].size:
+                    setattr(self, k, data[k])
         if "dep_log_json" in data.files:
             self.dep_log = json.loads(bytes(data["dep_log_json"]).decode())
         est_prev = {k[len("estprev_"):]: data[k] for k in data.files
@@ -1011,11 +1108,17 @@ class Simulation:
                 self.sf_solution, self._sf_solver.en,
                 self.nts_done - 1, self.ts)
         if getattr(self, "vspec_I", None) is not None:
+            e0 = self.units.e0
+            qu = {}
+            if self.cfg.polarization_on and hasattr(self, "vspec_Q"):
+                qu = {"vspec_Q_erg": np.asarray(self.vspec_Q,
+                                                np.float64) * e0,
+                      "vspec_U_erg": np.asarray(self.vspec_U,
+                                                np.float64) * e0}
             spectra_mod.write_vspec(
                 os.path.join(out, "vspecpol.out"), self.ts,
-                np.asarray(self.vspec_I, dtype=np.float64)
-                * self.units.e0, self.cfg.nu_min_r,
-                self.cfg.nu_max_r)
+                np.asarray(self.vspec_I, dtype=np.float64) * e0,
+                self.cfg.nu_min_r, self.cfg.nu_max_r, **qu)
         if getattr(self, "_radfield_binned", None) is not None:
             radfield_mod.write_radfield_file(
                 os.path.join(out, "radfield.out"),

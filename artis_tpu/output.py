@@ -32,8 +32,11 @@ def append_estimators(path: str, g: Grid, nts: int, ts: TimestepGrid,
     """Append one timestep's per-cell state in the reference's
     estimators_XXXX.out text format (update_grid.cc:42-658):
     header line 'timestep X modelgridindex Y ... TR Te W TJ ...',
-    followed by heating/cooling lines when available."""
+    followed by per-cell heating/cooling breakdown lines when
+    available (update_grid.cc:642-649; heatingcooling holds [ncells]
+    arrays from thermal.heating_cooling_breakdown)."""
     tdays = ts.mid[nts] / DAY
+    hc = heatingcooling
     with open(path, "a") as f:
         for mgi in range(g.nmodel):
             if g.rho_init[mgi] <= 0:
@@ -46,12 +49,16 @@ def append_estimators(path: str, g: Grid, nts: int, ts: TimestepGrid,
                 f"grey_depth {getattr(g, 'grey_depth', np.zeros(g.nmodel))[mgi]:.3f} "
                 f"thick {int(g.thick[mgi])} nne {g.nne[mgi]:.3e} "
                 f"tdays {tdays:.3f}\n")
-            if heatingcooling is not None:
-                hc = heatingcooling
-                f.write(f"heating: ff {hc.get('ff', 0.0):.3e} "
-                        f"bf {hc.get('bf', 0.0):.3e} "
-                        f"coll {hc.get('coll', 0.0):.3e} "
-                        f"dep {hc.get('dep', 0.0):.3e}\n")
+            if hc is not None:
+                f.write(
+                    f"heating: ff {hc['heat_ff'][mgi]:.5e} "
+                    f"bf {hc['heat_bf'][mgi]:.5e} "
+                    f"coll {hc['heat_coll'][mgi]:.5e} "
+                    f"dep {hc['heat_dep'][mgi]:.5e}\n"
+                    f"cooling: ff {hc['cool_ff'][mgi]:.5e} "
+                    f"fb {hc['cool_fb'][mgi]:.5e} "
+                    f"coll {hc['cool_coll'][mgi]:.5e} "
+                    f"adiabatic {hc['cool_adiabatic'][mgi]:.5e}\n")
 
 
 def write_deposition_file(path: str, dep_log: list[dict],
@@ -128,19 +135,47 @@ def write_packets_file(path: str, arrays_cgs: dict[str, np.ndarray],
     n = len(arrays_cgs["ptype"])
     cols = ["number", "where", "type_id", "posx", "posy", "posz",
             "dirx", "diry", "dirz", "e_cmf", "e_rf", "nu_cmf", "nu_rf",
-            "escape_type_id", "escape_time", "nscatterings"]
+            "escape_type_id", "escape_time", "nscatterings",
+            "stokes_q", "stokes_u", "emissiontype", "absorptiontype",
+            "absorption_nu"]
+    z = lambda k, dt=float: np.asarray(
+        arrays_cgs.get(k, np.zeros(n, dt)))
+    pos = arrays_cgs["pos"]
+    d = arrays_cgs["dirvec"]
+    mat = np.column_stack([
+        np.arange(n), z("cell", int), arrays_cgs["ptype"],
+        pos[:, 0], pos[:, 1], pos[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        arrays_cgs["e_cmf"], arrays_cgs["e_rf"],
+        arrays_cgs["nu_cmf"], arrays_cgs["nu_rf"],
+        arrays_cgs["escape_type"], arrays_cgs["escape_time"],
+        z("nscatterings", int), z("stokes_q"), z("stokes_u"),
+        z("emissiontype", int) if "emissiontype" in arrays_cgs
+        else np.full(n, -1), z("absorptiontype", int)
+        if "absorptiontype" in arrays_cgs else np.full(n, -1),
+        z("absorption_nu")])
+    np.savetxt(path, mat, fmt="%.9g",
+               header=" ".join(cols), comments="#")
+
+
+def write_linestat_header(path: str, ad) -> None:
+    """linestat.out header: 5 rows over all lines — wavelength [cm],
+    element Z, ionstage, upper level, lower level (1-based)
+    (initialise_linestat_file, sn3d.cc:62-84)."""
+    from .constants import CLIGHT
+    z_of_line = ad.elem_z[ad.ion_element[ad.line_ion]]
+    stage = ad.ion_stage[ad.line_ion]
+    up_local = ad.line_upper - ad.ion_level_start[ad.line_ion] + 1
+    lo_local = ad.line_lower - ad.ion_level_start[ad.line_ion] + 1
     with open(path, "w") as f:
-        f.write("#" + " ".join(cols) + "\n")
-        pos = arrays_cgs["pos"]
-        d = arrays_cgs["dirvec"]
-        for i in range(n):
-            f.write(
-                f"{i} {arrays_cgs.get('cell', np.zeros(n, int))[i]} "
-                f"{arrays_cgs['ptype'][i]} "
-                f"{pos[i, 0]:g} {pos[i, 1]:g} {pos[i, 2]:g} "
-                f"{d[i, 0]:g} {d[i, 1]:g} {d[i, 2]:g} "
-                f"{arrays_cgs['e_cmf'][i]:g} {arrays_cgs['e_rf'][i]:g} "
-                f"{arrays_cgs['nu_cmf'][i]:g} {arrays_cgs['nu_rf'][i]:g} "
-                f"{arrays_cgs['escape_type'][i]} "
-                f"{arrays_cgs['escape_time'][i]:g} "
-                f"{arrays_cgs.get('nscatterings', np.zeros(n, int))[i]}\n")
+        f.write(" ".join(f"{CLIGHT / nu:g}" for nu in ad.line_nu)
+                + " \n")
+        for arr in (z_of_line, stage, up_local, lo_local):
+            f.write(" ".join(str(int(v)) for v in arr) + " \n")
+
+
+def append_linestat(path: str, em_counts, ab_counts) -> None:
+    """Two rows per timestep: per-line emission then absorption counts
+    (sn3d.cc:627-640)."""
+    with open(path, "a") as f:
+        f.write(" ".join(str(int(round(v))) for v in em_counts) + " \n")
+        f.write(" ".join(str(int(round(v))) for v in ab_counts) + " \n")

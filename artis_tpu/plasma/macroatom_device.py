@@ -83,17 +83,23 @@ def _line_weights(lc_chunk, nl, Te, TR, W, nne, t_mid, rf=None):
     R_deexc = jnp.where(tau > 1e-30, lc_chunk["A"][None, :] * beta, 0.0)
 
     if rf is not None:
-        # fitted multibin field J_nu at the line frequency
-        # (radfield.cc:898-960): per-line bin lookup
-        nu_edges, W_bin, TR_bin = rf
+        # multibin field J_nu at the line frequency
+        # (radfield.cc:898-960): per-line bin lookup. ``W_bin`` is
+        # either the fitted dilution factor (J = W B(T_R)) or, in
+        # raw-estimator mode, the piecewise-constant J_nu itself
+        # (detailed bf estimators, radfield.cc:764-828).
+        nu_edges, W_bin, TR_bin, is_raw = rf
         b = jnp.searchsorted(nu_edges, lc_chunk["nu"],
                              side="right") - 1
         inside = (b >= 0) & (b < W_bin.shape[1])
         bc = jnp.clip(b, 0, W_bin.shape[1] - 1)
-        Jnu = jnp.where(
-            inside[None, :],
-            _planck_jnu(lc_chunk["nu"][None, :], TR_bin[:, bc],
-                        W_bin[:, bc]), 0.0)
+        if is_raw:
+            Jnu = jnp.where(inside[None, :], W_bin[:, bc], 0.0)
+        else:
+            Jnu = jnp.where(
+                inside[None, :],
+                _planck_jnu(lc_chunk["nu"][None, :], TR_bin[:, bc],
+                            W_bin[:, bc]), 0.0)
     else:
         Jnu = _planck_jnu(lc_chunk["nu"][None, :], TR[:, None],
                           W[:, None])
@@ -146,16 +152,17 @@ def _line_weights(lc_chunk, nl, Te, TR, W, nne, t_mid, rf=None):
     return w_rad, w_col, w_down, w_up, w_kexc
 
 
-@partial(jax.jit, static_argnames=("nlevels", "nchunks", "has_rf"))
+@partial(jax.jit, static_argnames=("nlevels", "nchunks", "has_rf",
+                                   "rf_raw"))
 def _build_core(lc, g_l_all, g_u_all, nl, Te, TR, W, nne, t_mid,
                 rf_arrays, *, nlevels: int, nchunks: int,
-                has_rf: bool):
+                has_rf: bool, rf_raw: bool = False):
     """Chunked scan over the (padded) linelist: per-line weights in
     global order + per-level process aggregates."""
     ncells = nl.shape[0]
     npad = lc["lo"].shape[0]
     K = npad // nchunks
-    rf = rf_arrays if has_rf else None
+    rf = rf_arrays + (rf_raw,) if has_rf else None
 
     def body(proc, i):
         s = i * K
@@ -227,7 +234,12 @@ class DeviceTableBuilder:
         W_j = jnp.asarray(W, jnp.float32)
         nne_j = jnp.asarray(nne, jnp.float32)
         has_rf = radfield is not None
-        if has_rf:
+        rf_raw = has_rf and hasattr(radfield, "J_bin")
+        if rf_raw:
+            rf_arrays = (jnp.asarray(radfield.nu_edges, jnp.float32),
+                         jnp.asarray(radfield.Jnu_dens, jnp.float32),
+                         jnp.asarray(radfield.T_R, jnp.float32))
+        elif has_rf:
             rf_arrays = (jnp.asarray(radfield.nu_edges, jnp.float32),
                          jnp.asarray(radfield.W, jnp.float32),
                          jnp.asarray(radfield.T_R, jnp.float32))
@@ -238,7 +250,7 @@ class DeviceTableBuilder:
         proc, w_rad, w_down, w_up, w_kexc = _build_core(
             self.lc, self.g_l, self.g_u, nl, Te_j, TR_j, W_j, nne_j,
             jnp.float32(t_mid), rf_arrays, nlevels=self.nlevels,
-            nchunks=self.nchunks, has_rf=has_rf)
+            nchunks=self.nchunks, has_rf=has_rf, rf_raw=rf_raw)
         n = self.nlines
 
         # ionisation / recombination channels [ncells, ncont] (small;

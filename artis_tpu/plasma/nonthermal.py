@@ -36,6 +36,9 @@ from ..constants import EV, H, ME, PI, QE, H_ionpot
 A_NAUGHT_SQUARED = 2.800285203e-17  # Bohr radius squared [cm^2]
 
 
+NT_MAX_AUGER_ELECTRONS = 2  # artisoptions NT_MAX_AUGER_ELECTRONS
+
+
 @dataclasses.dataclass
 class CollIonRow:
     Z: int
@@ -45,6 +48,16 @@ class CollIonRow:
     B: float
     C: float
     D: float
+    n: int = -1  # shell principal quantum number
+    l: int = -1  # shell angular momentum
+    # Auger data (Kaastra & Mewe 1993; read_auger_data,
+    # nonthermal.cc:255-385): probability of ejecting 0..NMAX extra
+    # electrons when this shell is ionised, and the mean Auger
+    # electron kinetic energy
+    prob_num_auger: tuple = (1.0,) + (0.0,) * NT_MAX_AUGER_ELECTRONS
+    en_auger_ev: float = 0.0
+    n_auger_elec_avg: float = 0.0
+    auger_g_accumulated: float = 0.0
 
 
 def read_collion(path: str) -> list[CollIonRow]:
@@ -60,8 +73,71 @@ def read_collion(path: str) -> list[CollIonRow]:
         ionpot, a, b, c, d = (float(v) for v in toks[pos + 4:pos + 9])
         pos += 9
         rows.append(CollIonRow(Z=z, nelec=nelec, ionpot_ev=ionpot,
-                               A=a, B=b, C=c, D=d))
+                               A=a, B=b, C=c, D=d, n=_n, l=_l))
     return rows
+
+
+# X-ray notation shells K L1 L2 L3 M1 M2 M3 -> (n, l, g=2j+1)
+# (read_auger_data, nonthermal.cc:262-264)
+_XRAY_N = (1, 2, 2, 2, 3, 3, 3)
+_XRAY_L = (0, 0, 1, 1, 0, 1, 1)
+_XRAY_G = (2, 2, 2, 4, 2, 2, 4)
+
+
+def read_auger_data(path: str, rows: list[CollIonRow],
+                    nmax: int = NT_MAX_AUGER_ELECTRONS) -> int:
+    """Read auger-km1993-table2.txt and attach Auger-electron
+    probabilities / energies to the matching collion shells
+    (read_auger_data, nonthermal.cc:255-385).  Fixed-width format:
+    'ZZ SS N IIIII.I EEEEE.E eeeee' then nine 5-char probability
+    fields (P(n_Auger) x 1e4 for n = 0..8).  Returns the number of
+    shells that received data."""
+    fname = os.path.join(path, "auger-km1993-table2.txt")
+    if not os.path.exists(fname):
+        return 0
+    applied = 0
+    with open(fname) as f:
+        for line in f:
+            if len(line) < 31 or line.lstrip().startswith("#"):
+                continue
+            head = line[:26].split()
+            if len(head) < 6:
+                continue
+            Z, ionstage, shellnum = (int(v) for v in head[:3])
+            ionpot_ev = float(head[3])
+            en_auger_total = float(head[4])
+            epsilon_e3 = int(head[5])
+            if not (1 <= shellnum <= 7):
+                continue
+            probs = np.zeros(nmax + 1)
+            n_avg = 0.0
+            for a in range(9):
+                s = line[26 + a * 5:31 + a * 5].strip() or "0"
+                p = int(s) / 10000.0
+                n_avg += a * p
+                probs[min(a, nmax)] += p
+            # en_auger corrected for radiative (fluorescence) losses
+            en_auger_ev = en_auger_total - epsilon_e3 / 1000.0 * ionpot_ev
+            if not np.isfinite(en_auger_ev) or en_auger_ev < 0:
+                en_auger_ev = 0.0
+            n_shell = _XRAY_N[shellnum - 1]
+            l_shell = _XRAY_L[shellnum - 1]
+            g = _XRAY_G[shellnum - 1]
+            for r in rows:
+                if (r.Z == Z and r.nelec == Z - ionstage + 1
+                        and r.n == n_shell and r.l == l_shell):
+                    # statistical-weight average when several x-ray
+                    # shells map to one (n, l) (e.g. L2+L3)
+                    ow = r.auger_g_accumulated / (g + r.auger_g_accumulated)
+                    nw = g / (g + r.auger_g_accumulated)
+                    r.auger_g_accumulated += g
+                    r.en_auger_ev = ow * r.en_auger_ev + nw * en_auger_ev
+                    r.n_auger_elec_avg = (ow * r.n_auger_elec_avg
+                                          + nw * n_avg)
+                    r.prob_num_auger = tuple(
+                        ow * np.asarray(r.prob_num_auger) + nw * probs)
+                    applied += 1
+    return applied
 
 
 def lotz_collion(ad: AtomicData) -> list[CollIonRow]:
@@ -135,6 +211,13 @@ class SFSolution:
     # nonthermal.cc:2140-2258); rows sum to frac_excitation
     exc_frac: Optional[np.ndarray] = None  # [ncells, nexc]
     y: Optional[np.ndarray] = None  # [ncells, SFPTS] (diagnostics)
+    # Auger multi-electron probabilities per ionisation of each ion
+    # (rate-weighted over shells; calculate_eff_ionpot,
+    # nonthermal.cc:1440-1545): P(a extra electrons), a = 0..NMAX,
+    # and its energy-weighted companion used for energy-weighted
+    # upper-ion selection (nt_random_upperion, nonthermal.cc:1657)
+    prob_num_auger: Optional[np.ndarray] = None  # [ncells,nions,NMAX+1]
+    ionenfrac_num_auger: Optional[np.ndarray] = None  # same shape
 
 
 class SpencerFanoSolver:
@@ -174,8 +257,19 @@ class SpencerFanoSolver:
         # keep the strongest transitions (by oscillator strength) to
         # bound the matrix-assembly cost (the reference caps upper
         # levels via NTEXCITATION_MAXNLEVELS, nonthermal.cc:2290-2341)
+        self.n_excitation_dropped = 0
         if len(idx) > self.max_excitation_lines:
             order = np.argsort(-ad.line_f[idx])
+            self.n_excitation_dropped = (len(idx)
+                                         - self.max_excitation_lines)
+            dropped_f = float(ad.line_f[idx[order[
+                self.max_excitation_lines:]]].sum())
+            kept_f = float(ad.line_f[idx[order[
+                :self.max_excitation_lines]]].sum())
+            print(f"SpencerFano: keeping {self.max_excitation_lines} "
+                  f"of {len(idx)} excitation lines "
+                  f"(dropped oscillator-strength fraction "
+                  f"{dropped_f / max(kept_f + dropped_f, 1e-300):.3e})")
             idx = idx[order[:self.max_excitation_lines]]
         self.exc_lines = idx
         self.exc_eps_ev = eps_ev[idx]
@@ -254,6 +348,13 @@ class SpencerFanoSolver:
                 int_eps_upper[None, :] - iel2, 0.0) * de
             term2 = np.where(EN_J >= 2 * EN_I + I, term2, 0.0)
             M -= term2
+            # Auger electrons born at en_auger_ev act as production
+            # for all rows below that energy (SF_AUGER_CONTRIBUTION_ON,
+            # sfmatrix_add_ionization, nonthermal.cc:2424-2456; the
+            # reference's non-distributed mode, no de factor)
+            if row.en_auger_ev > 0.0:
+                auger_rows = (EN_I < row.en_auger_ev) & (EN_J >= EN_I)
+                M -= np.where(auger_rows, nnion * xs[None, :], 0.0)
         return M
 
     # -- solve + analysis --------------------------------------------
@@ -265,11 +366,16 @@ class SpencerFanoSolver:
         ncells = len(nne)
         ad = self.ad
         en, de = self.en, self.de
+        namax = NT_MAX_AUGER_ELECTRONS
         frac_heat = np.zeros(ncells)
         frac_ion = np.zeros(ncells)
         frac_exc = np.zeros(ncells)
         exc_frac = np.zeros((ncells, len(self.exc_lines)))
         ion_rate = np.zeros((ncells, ad.nions_total))
+        prob_auger = np.zeros((ncells, ad.nions_total, namax + 1))
+        enfrac_auger = np.zeros((ncells, ad.nions_total, namax + 1))
+        prob_auger[:, :, 0] = 1.0
+        enfrac_auger[:, :, 0] = 1.0
         ys = np.zeros((ncells, self.sfpts)) if store_y else None
 
         for c in range(ncells):
@@ -298,6 +404,12 @@ class SpencerFanoSolver:
                 z = int(ad.elem_z[ad.ion_element[i]])
                 stage = int(ad.ion_stage[i])
                 ion_lookup[i] = (z, z - stage + 1)
+            # per-(ion, shell) accumulators for the Auger-probability
+            # analysis (calculate_eff_ionpot, nonthermal.cc:1440-1545)
+            w_rate = np.zeros((ad.nions_total, namax + 1))
+            w_eta = np.zeros((ad.nions_total, namax + 1))
+            w_rate_tot = np.zeros(ad.nions_total)
+            w_eta_tot = np.zeros(ad.nions_total)
             for row in self.collion:
                 for i, key in ion_lookup.items():
                     if key != (row.Z, row.nelec):
@@ -309,7 +421,32 @@ class SpencerFanoSolver:
                     rate = np.sum(xs * y) * de  # per ion per unit dep
                     fi += nnion * row.ionpot_ev * rate
                     ion_rate[c, i] += rate / self.E_init_ev / EV
+                    pa = np.asarray(row.prob_num_auger)
+                    w_rate[i] += rate * pa
+                    w_eta[i] += rate * row.ionpot_ev * pa
+                    w_rate_tot[i] += rate
+                    w_eta_tot[i] += rate * row.ionpot_ev
             frac_ion[c] = fi / self.E_init_ev
+            # normalise to per-ion Auger probabilities, folding
+            # multi-ionisations past the element's top ion into the
+            # highest reachable stage (nonthermal.cc:1492-1527)
+            for i in range(ad.nions_total):
+                if w_rate_tot[i] <= 0:
+                    continue
+                e = ad.ion_element[i]
+                top = int(ad.elem_ion_start[e + 1]) - 1
+                if i >= top:  # no upper ion: keep the a=0 default
+                    continue
+                p = w_rate[i] / w_rate_tot[i]
+                q = w_eta[i] / w_eta_tot[i]
+                a_cap = top - i - 1  # max extra electrons
+                if a_cap < namax:
+                    p[a_cap] += p[a_cap + 1:].sum()
+                    q[a_cap] += q[a_cap + 1:].sum()
+                    p[a_cap + 1:] = 0.0
+                    q[a_cap + 1:] = 0.0
+                prob_auger[c, i] = p
+                enfrac_auger[c, i] = q
             frac_heat[c] = max(0.0, 1.0 - frac_ion[c] - frac_exc[c])
 
         return SFSolution(frac_heating=frac_heat,
@@ -317,4 +454,6 @@ class SpencerFanoSolver:
                           frac_excitation=frac_exc,
                           ion_rate_per_dep=ion_rate,
                           E_init_ev=self.E_init_ev,
-                          exc_frac=exc_frac, y=ys)
+                          exc_frac=exc_frac, y=ys,
+                          prob_num_auger=prob_auger,
+                          ionenfrac_num_auger=enfrac_auger)

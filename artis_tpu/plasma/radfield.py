@@ -76,6 +76,45 @@ class BinnedRadField:
         return np.where(inside[None, :], T, 0.0)
 
 
+@dataclasses.dataclass
+class RawBinnedField:
+    """The transport-accumulated binned J estimator used DIRECTLY as
+    the radiation field — the analogue of the reference's detailed
+    bf-rate estimators (update_bfestimators, radfield.cc:764-828),
+    where photoionisation rates integrate the actual packet field
+    rather than a fitted Planck shape.  J_nu is piecewise-constant
+    per bin; T_R (the per-bin fitted colour temperature) supplies the
+    stimulated-emission corrections, as the reference's
+    get_bfrate_estimator path does via the bin fits."""
+    nu_edges: np.ndarray  # [nbins+1] Hz
+    J_bin: np.ndarray  # [ncells, nbins] bin-integrated J [erg/s/cm^2/sr]
+    T_R: np.ndarray  # [ncells, nbins] fitted bin colour temperature
+
+    @property
+    def nbins(self) -> int:
+        return len(self.nu_edges) - 1
+
+    @property
+    def Jnu_dens(self) -> np.ndarray:
+        """Per-bin mean intensity density J_nu [erg/s/cm^2/Hz/sr]."""
+        dnu = np.diff(self.nu_edges)[None, :]
+        return self.J_bin / dnu
+
+    def Jnu_at(self, nu: np.ndarray) -> np.ndarray:
+        nu = np.asarray(nu, np.float64)
+        b = np.searchsorted(self.nu_edges, nu, side="right") - 1
+        inside = (b >= 0) & (b < self.nbins)
+        bc = np.clip(b, 0, self.nbins - 1)
+        return np.where(inside[None, :], self.Jnu_dens[:, bc], 0.0)
+
+    def TR_at(self, nu: np.ndarray) -> np.ndarray:
+        nu = np.asarray(nu, np.float64)
+        b = np.searchsorted(self.nu_edges, nu, side="right") - 1
+        inside = (b >= 0) & (b < self.nbins)
+        T = self.T_R[:, np.clip(b, 0, self.nbins - 1)]
+        return np.where(inside[None, :], T, 0.0)
+
+
 def make_bin_edges(nu_min: float, nu_max: float,
                    nbins: int) -> np.ndarray:
     return np.exp(np.linspace(np.log(nu_min), np.log(nu_max),

@@ -141,3 +141,37 @@ def solve_Te(ad: AtomicData, ph: PhixsData, elem_numberdens: np.ndarray,
     # thermalbalance.cc:470-516)
     Te = np.where(bracketed, Te, np.where(f_lo > 0, maxtemp, mintemp))
     return np.clip(Te, mintemp, maxtemp)
+
+
+def heating_cooling_breakdown(ad: AtomicData, ph: PhixsData,
+                              elem_numberdens: np.ndarray,
+                              Te: np.ndarray, TR: np.ndarray,
+                              W: np.ndarray, ffheat_est: np.ndarray,
+                              colheat_est: np.ndarray, t_mid: float,
+                              dep_heating: np.ndarray | None = None
+                              ) -> dict[str, np.ndarray]:
+    """Per-cell heating/cooling components [erg/s/cm^3] at the solved
+    T_e — the diagnostic rows the reference appends to
+    estimators_XXXX.out (struct heatingcoolingrates,
+    thermalbalance.h:4-14; written update_grid.cc:642-649)."""
+    ncells = elem_numberdens.shape[0]
+    Te = np.maximum(np.asarray(Te, np.float64), 1.0)
+    pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
+    nl = lte.level_populations(ad, pops, Te)
+    rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne)
+    bfheat = (nl[:, ph.cont_level] * rates.bfheating).sum(axis=1)
+    c_ff, c_fb, c_exc, c_ion = cooling_rates(ad, ph, nl, pops, Te,
+                                             rates, t_mid)
+    nntot = elem_numberdens.sum(axis=1) + pops.nne
+    cooling_ad = nntot * KB * Te * 3.0 / t_mid
+    return {
+        "heat_ff": np.asarray(ffheat_est, np.float64),
+        "heat_bf": bfheat,
+        "heat_coll": np.asarray(colheat_est, np.float64),
+        "heat_dep": (np.asarray(dep_heating, np.float64)
+                     if dep_heating is not None else np.zeros(ncells)),
+        "cool_ff": c_ff,
+        "cool_fb": c_fb,
+        "cool_coll": c_exc + c_ion,
+        "cool_adiabatic": cooling_ad,
+    }

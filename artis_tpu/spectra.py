@@ -157,11 +157,18 @@ def write_light_curve(path: str, spec: Spectra):
 
 
 def build_specpol(escaped: dict[str, np.ndarray], ts: TimestepGrid,
-                  nu_min: float, nu_max: float, nnubins: int):
+                  nu_min: float, nu_max: float, nnubins: int,
+                  abin: int = -1, syn_dir=(0.0, 0.0, 1.0)):
     """Stokes I/Q/U spectra from escaped packets with polarisation
     state (add_to_spec's Stokes branch, spectrum.cc:339-500).
+    ``abin`` = -1 gives the angle average; 0..99 one of the 10x10
+    escape-direction bins (add_to_spec_res, spectrum.cc:602-639).
 
     Returns (I, Q, U) flux arrays [nts, nnu] at 1 Mpc."""
+    if abin >= 0:
+        bins = escape_direction_bins(escaped["dirvec"], syn_dir)
+        sel = bins == abin
+        escaped = {k: v[sel] for k, v in escaped.items()}
     t_arrive = _arrival_times(escaped["pos"], escaped["dirvec"],
                               escaped["escape_time"])
     nu = escaped["nu_rf"]
@@ -182,6 +189,8 @@ def build_specpol(escaped: dict[str, np.ndarray], ts: TimestepGrid,
     inu = np.clip(((np.log(nu[ok]) - np.log(nu_min))
                    / dlognu).astype(np.int64), 0, nnubins - 1)
     norm = 1.0 / (4e12 * PI * PARSEC * PARSEC)
+    if abin >= 0:
+        norm *= MABINS
     out = []
     for w in (np.ones_like(e_rf), q, u):
         f = np.zeros((ts.n, nnubins))
@@ -323,28 +332,38 @@ def write_emission_absorption(path_em: str, path_abs: str, ts,
 
 
 def write_vspec(path: str, ts: TimestepGrid, vspec_I_erg: np.ndarray,
-                nu_min: float, nu_max: float):
+                nu_min: float, nu_max: float,
+                vspec_Q_erg: np.ndarray | None = None,
+                vspec_U_erg: np.ndarray | None = None):
     """vspecpol.out analogue (vpkt.cc:483-560 output): one block per
-    observer; rows = nu bins, columns = flux per timestep at 1 Mpc.
-    ``vspec_I_erg``: [nobs, nts, nnu] peeled energy per (time, nu)
+    observer per Stokes parameter (I, then Q, then U when polarised);
+    rows = nu bins, columns = flux per timestep at 1 Mpc.
+    ``vspec_*_erg``: [nobs, nts, nnu] peeled energy per (time, nu)
     bin [erg]."""
     nobs, ntb, nnu = vspec_I_erg.shape
     dlognu = (np.log(nu_max) - np.log(nu_min)) / nnu
     nu_lower = np.exp(np.log(nu_min) + np.arange(nnu) * dlognu)
     nu_delta = np.exp(np.log(nu_min)
                       + (np.arange(nnu) + 1) * dlognu) - nu_lower
-    flux = (vspec_I_erg / ts.width[None, :ntb, None]
-            / nu_delta[None, None, :] / MPC2)
+    stokes = [("I", vspec_I_erg)]
+    if vspec_Q_erg is not None:
+        stokes.append(("Q", vspec_Q_erg))
+    if vspec_U_erg is not None:
+        stokes.append(("U", vspec_U_erg))
+    nu_c = nu_lower + 0.5 * nu_delta
     with open(path, "w") as f:
         for o in range(nobs):
-            f.write(f"#observer {o}\n")
-            f.write(" ".join(["0.0"] + [f"{t / 86400.0:g}"
-                                        for t in ts.mid[:ntb]]) + "\n")
-            nu_c = nu_lower + 0.5 * nu_delta
-            for i in range(nnu):
-                row = [f"{nu_c[i]:g}"] + [f"{flux[o, n, i]:g}"
-                                          for n in range(ntb)]
-                f.write(" ".join(row) + "\n")
+            for name, arr in stokes:
+                flux = (arr[o] / ts.width[:ntb, None]
+                        / nu_delta[None, :] / MPC2)
+                f.write(f"#observer {o} stokes {name}\n")
+                f.write(" ".join(["0.0"] + [f"{t / 86400.0:g}"
+                                            for t in ts.mid[:ntb]])
+                        + "\n")
+                for i in range(nnu):
+                    row = [f"{nu_c[i]:g}"] + [f"{flux[n, i]:g}"
+                                              for n in range(ntb)]
+                    f.write(" ".join(row) + "\n")
 
 
 def write_spectrum(path: str, spec: Spectra):

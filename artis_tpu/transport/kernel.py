@@ -118,13 +118,21 @@ def make_planck_table(npts: int = 1024) -> tuple[np.ndarray, np.ndarray]:
 
 
 def zero_estimators(nmodel: int, radfield_nbins: int = 0,
-                    vpkt_shape=None) -> dict[str, jax.Array]:
+                    vpkt_shape=None,
+                    nlines_stat: int = 0) -> dict[str, jax.Array]:
     z = lambda: jnp.float32(0.0)
     out = {}
+    if nlines_stat > 0:
+        # per-line emission/absorption counters (linestat.out,
+        # sn3d.cc:62-84; ecounter/acounter accumulation)
+        out["line_em"] = jnp.zeros(nlines_stat, jnp.float32)
+        out["line_ab"] = jnp.zeros(nlines_stat, jnp.float32)
     if vpkt_shape is not None:
-        # observer Stokes-I spectra [nobs, ntimebins, nnubins]
+        # observer Stokes I/Q/U spectra [nobs, ntimebins, nnubins]
         # (vspecpol accumulators, vpkt.cc:483-560)
         out["vpkt_I"] = jnp.zeros(vpkt_shape, jnp.float32)
+        out["vpkt_Q"] = jnp.zeros(vpkt_shape, jnp.float32)
+        out["vpkt_U"] = jnp.zeros(vpkt_shape, jnp.float32)
     if radfield_nbins > 0:
         # binned radfield J/nuJ estimators (radfield.cc:831-876); the
         # keys' presence switches on the per-bin scatter in the kernel
@@ -354,7 +362,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     memorylessness).
     """
     N = pk.n
-    u = packet_uniforms(base_key, pk.pkt_id, pk.rng_count, salt=0, n=13)
+    u = packet_uniforms(base_key, pk.pkt_id, pk.rng_count, salt=0, n=14)
 
     mgi = tables["cell_mgi"][jnp.clip(pk.cell, 0, tables["cell_mgi"].shape[0] - 1)]
     nmodel = tables["chi_grey"].shape[0] - 1
@@ -362,6 +370,11 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
     new = {f.name: getattr(pk, f.name)
            for f in dataclasses.fields(PacketBatch)}
+
+    # per-line emission/absorption counters (linestat.out accumulation)
+    if "line_em" in est:
+        est_line_em = est["line_em"]
+        est_line_ab = est["line_ab"]
 
     def upd(mask, **kw):
         for k, v in kw.items():
@@ -482,6 +495,20 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                                                     nions_nt - 1)))
         nt_ion = jnp.clip(ntlo, 0, params.nt_target_level.shape[0] - 1)
         nt_lvl = params.nt_target_level[nt_ion]
+        if "nt_auger_cum" in tables:
+            # Auger multi-electron ionisation: sample the number of
+            # extra ejected electrons from the energy-weighted
+            # probabilities and jump to ion+1+a's ground state
+            # (nt_random_upperion, nonthermal.cc:1657-1676)
+            arow = tables["nt_auger_cum"][mgi, nt_ion]  # [n, NA+1]
+            tot_a = arow[:, -1]
+            targ_a = jnp.clip(u[:, 13], 0.0, 1.0) * tot_a
+            a_sel = jnp.clip(
+                jnp.sum((targ_a[:, None] >= arow).astype(jnp.int32),
+                        axis=1), 0, arow.shape[1] - 1)
+            lvl_auger = tables["nt_target_auger"][nt_ion, a_sel]
+            nt_lvl = jnp.where((tot_a > 0) & (lvl_auger >= 0),
+                               lvl_auger, nt_lvl)
         lep_ion = lep_ion & (nt_lvl >= 0) & (tot_w_nt > 0)
         upd(lep_ion, ptype=TYPE_MA, ma_level=jnp.maximum(nt_lvl, 0),
             next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
@@ -633,6 +660,10 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
             em_time=pk.prop_time, next_trans=k_line + 1,
             nscatterings=jnp.int32(0), emissiontype=k_line)
+        if "line_em" in est:
+            est_line_em = est_line_em.at[
+                jnp.clip(k_line, 0, est_line_em.shape[0] - 1)].add(
+                jnp.where(ma_rad, 1.0, 0.0))
         # radiative recombination -> r-packet at a continuum frequency
         # (do_macroatom_radrecomb, macroatom.cc:298-380)
         Te_ma = tables["Te"][mgi]
@@ -1128,6 +1159,9 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             next_trans=wl_c + 1, nscatterings=jnp.int32(0),
             absorptiontype=wl_c, absorption_nu=pk.nu_rf)
         cnt["ma_activations"] += mcount(bb_hit)
+        if "line_ab" in est:
+            est_line_ab = est_line_ab.at[wl_c].add(
+                jnp.where(bb_hit, 1.0, 0.0))
         upd(line_pass, next_trans=j_new)
 
         # continuum event: electron scatter vs free-free vs bound-free
@@ -1305,6 +1339,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         VT = params.vpkt_t_edges.shape[0] - 1
         VNU = est["vpkt_I"].shape[2]
         est_vp = est["vpkt_I"]
+        est_vq = est["vpkt_Q"]
+        est_vu = est["vpkt_U"]
         for o in range(nobs):
             obs_b = jnp.broadcast_to(params.vpkt_obs[o], pos_e.shape)
             vel_e = geo.flow_velocity(pos_e, t_e)
@@ -1313,14 +1349,29 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                 1e-6)
             nu_obs = nu_e / dopp_o
             e_obs = e_e / dopp_o
-            cosT = geo.dot3(pk.dirvec, obs_b)
-            # dipole phase function for e-scatter peels
-            # (rlc_emiss_vpkt's pn, vpkt.cc:137-146); isotropic 1/4pi
-            # for thermal / macro-atom emission
-            w_phase = jnp.where(
-                vp_dip,
-                3.0 / (16.0 * jnp.float32(PI)) * (1.0 + cosT**2),
-                1.0 / (4.0 * jnp.float32(PI)))
+            if polarization:
+                # full polarised peel: phase-function weight and
+                # observer-frame Stokes from the packet's (Q, U)
+                # through the Bulla+2015 frame chain
+                # (rlc_emiss_vpkt, vpkt.cc:124-180)
+                from .polarization import peel_stokes
+                pn_dip, q_dip, u_dip = peel_stokes(
+                    pk.dirvec, pk.stokes_q, pk.stokes_u, pos_e, t_e,
+                    obs_b, relativistic)
+                w_phase = jnp.where(
+                    vp_dip, pn_dip, 1.0 / (4.0 * jnp.float32(PI)))
+                q_peel = jnp.where(vp_dip, q_dip, 0.0)
+                u_peel = jnp.where(vp_dip, u_dip, 0.0)
+            else:
+                cosT = geo.dot3(pk.dirvec, obs_b)
+                # unpolarised dipole for e-scatter peels; isotropic
+                # 1/4pi for thermal / macro-atom emission
+                w_phase = jnp.where(
+                    vp_dip,
+                    3.0 / (16.0 * jnp.float32(PI)) * (1.0 + cosT**2),
+                    1.0 / (4.0 * jnp.float32(PI)))
+                q_peel = jnp.zeros_like(w_phase)
+                u_peel = jnp.zeros_like(w_phase)
             tau_o = vpkt_tau(obs_b, nu_obs)
             contrib = jnp.where(vp_any,
                                 e_obs * w_phase * jnp.exp(-tau_o), 0.0)
@@ -1335,13 +1386,24 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                     & (inu_v >= 0) & (inu_v < VNU))
             flat_v = (jnp.clip(it_v, 0, VT - 1) * VNU
                       + jnp.clip(inu_v, 0, VNU - 1))
-            row = jnp.zeros((VT * VNU,), jnp.float32).at[flat_v].add(
-                jnp.where(ok_v, contrib, 0.0))
-            est_vp = est_vp.at[o].add(row.reshape(VT, VNU))
+
+            def vrow(w):
+                return (jnp.zeros((VT * VNU,), jnp.float32)
+                        .at[flat_v].add(jnp.where(ok_v, w, 0.0))
+                        .reshape(VT, VNU))
+
+            est_vp = est_vp.at[o].add(vrow(contrib))
+            est_vq = est_vq.at[o].add(vrow(contrib * q_peel))
+            est_vu = est_vu.at[o].add(vrow(contrib * u_peel))
 
     est_out = dict(est)
     if vpkt and "vpkt_I" in est:
         est_out["vpkt_I"] = est_vp
+        est_out["vpkt_Q"] = est_vq
+        est_out["vpkt_U"] = est_vu
+    if "line_em" in est:
+        est_out["line_em"] = est_line_em
+        est_out["line_ab"] = est_line_ab
     if "J_bin" in est:
         est_out["J_bin"] = est_J_bin
         est_out["nuJ_bin"] = est_nuJ_bin

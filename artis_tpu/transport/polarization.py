@@ -119,6 +119,45 @@ def frame_transform(n_rf, q, u, vel, relativistic: bool = True):
     return q_out, u_out, n_cmf
 
 
+def peel_stokes(dirvec, q_rf, u_rf, pos, t, obs,
+                relativistic: bool = False):
+    """Deterministic Stokes peel-off toward a fixed observer
+    direction ``obs`` — the dipole-scattering branch of
+    rlc_emiss_vpkt (vpkt.cc:124-180): returns (pn, q_obs, u_obs)
+    where pn is the polarised phase-function value (the peel weight
+    per unit solid angle) and (q_obs, u_obs) the normalised Stokes
+    parameters of the peeled photon in the rest frame."""
+    vel = geo.flow_velocity(pos, t)
+
+    # Stokes and direction to the comoving frame
+    qi, ui, old_dir = frame_transform(dirvec, q_rf, u_rf, vel)
+    obs_cmf = geo.normalize3(geo.angle_ab(obs, vel))
+
+    # rotate Stokes into the scattering plane (i1, Bulla+2015)
+    ref1, ref2 = meridian(old_dir)
+    i1 = rot_angle(old_dir, obs_cmf, ref1, ref2)
+    qold = qi * jnp.cos(2 * i1) - ui * jnp.sin(2 * i1)
+    uold = qi * jnp.sin(2 * i1) + ui * jnp.cos(2 * i1)
+
+    mu = geo.dot3(old_dir, obs_cmf)
+    pn = (3.0 / (16.0 * PI)
+          * (1.0 + mu * mu + (mu * mu - 1.0) * qold))
+    inew = 0.75 * ((mu * mu + 1.0) + qold * (mu * mu - 1.0))
+    qnew = 0.75 * ((mu * mu - 1.0) + qold * (mu * mu + 1.0)) \
+        / jnp.maximum(inew, 1e-30)
+    unew = 1.5 * mu * uold / jnp.maximum(inew, 1e-30)
+
+    # rotate out of the scattering plane into the observer meridian
+    ref1o, ref2o = meridian(obs_cmf)
+    i2 = PI + rot_angle(obs_cmf, old_dir, ref1o, ref2o)
+    q_cmf = qnew * jnp.cos(2 * i2) + unew * jnp.sin(2 * i2)
+    u_cmf = -qnew * jnp.sin(2 * i2) + unew * jnp.cos(2 * i2)
+
+    # back to the rest frame
+    q_obs, u_obs, _ = frame_transform(obs_cmf, q_cmf, u_cmf, -vel)
+    return pn, q_obs, u_obs
+
+
 def escat_stokes(dirvec, q_rf, u_rf, pos, t, uniforms,
                  relativistic: bool = False, ntries: int = 12):
     """Polarised electron scattering (escat_rpkt, polarization.cc:6-157).

@@ -39,6 +39,8 @@ def main():
     # classic-variant temperature bounds (artisoptions_classic.h:57-58)
     cfg.mintemp = 3500.0
     cfg.maxtemp = 140_000.0
+    if cfg.data_path is None:
+        cfg.data_path = inputdir  # collion/auger/decay data files
 
     model = read_1d_model(os.path.join(inputdir, "model.txt"),
                           tmin=cfg.tmin, data_path=cfg.data_path)

@@ -111,3 +111,32 @@ def test_output_files_written(sim_done, tmp_path):
                   "absorption.out"):
         p = tmp_path / fname
         assert p.exists() and os.path.getsize(p) > 0, fname
+
+
+def test_detailed_bf_estimators_feed_rates(sim_done):
+    """With detailed_bf_estimators on (the default), the photoion
+    rates integrate the RAW binned J estimator; the per-timestep
+    diagnostic logs the median gamma(estimator)/gamma(fitted-field)
+    ratio, which must be O(1) once the field is sampled
+    (update_bfestimators, radfield.cc:764-828)."""
+    assert sim_done.cfg.detailed_bf_estimators
+    assert getattr(sim_done, "_radfield_raw", None) is not None
+    logged = [d["gamma_est_over_fit"] for d in sim_done.dep_log
+              if "gamma_est_over_fit" in d]
+    assert logged, "estimator-vs-fit diagnostic was never logged"
+    # raw histogram and per-bin Planck fit integrate the same J: the
+    # median over continua should agree within a factor of a few
+    assert 0.2 < logged[-1] < 5.0, logged
+
+
+def test_nt_feedback_heats(sim_done):
+    """Non-thermal deposition heating must reach the thermal balance:
+    with ~1e4x less deposition the equilibrium Te drops (guards the
+    wiring of nt_frac_heating x deposition, thermalbalance.cc:218-346,
+    which round 1 had silently disconnected)."""
+    import dataclasses as _dc
+    g = sim_done.grid
+    nz = g.rho_init > 0
+    assert hasattr(sim_done, "est_prev") and "dep_cell" in sim_done.est_prev
+    dep = sim_done._dep_rate_density(float(sim_done.ts.mid[3]))
+    assert np.any(dep[nz] > 0)

@@ -98,3 +98,55 @@ def test_ion_rates_positive_where_populated(solver, ad):
     rates = sol.ion_rate_per_dep[0]
     assert np.all(rates[pop > 1e-3 * pop.max()] >= 0)
     assert rates.max() > 0
+
+
+DATA_DIR = "/root/repo/refbuild/run/classic_sph"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(
+    DATA_DIR + "/collion.txt"), reason="reference data files absent")
+def test_auger_data_shifts_sf_fractions(ad):
+    """Reading collion.txt + auger-km1993-table2.txt attaches Auger
+    probabilities to inner shells; on an Fe-rich cell the SF solution
+    changes (Auger electrons add to the degradation spectrum) and the
+    per-ion multi-electron probabilities become non-trivial
+    (read_auger_data + calculate_eff_ionpot, nonthermal.cc:255-385,
+    1440-1545)."""
+    from artis_tpu.plasma.nonthermal import (read_collion,
+                                             read_auger_data)
+    rows = read_collion(DATA_DIR)
+    n_applied = read_auger_data(DATA_DIR, rows)
+    assert n_applied > 50  # K&M1993 covers Z<=30 inner shells
+    # every shell's P(n_Auger) remains a probability distribution
+    for r in rows:
+        s = sum(r.prob_num_auger)
+        assert abs(s - 1.0) < 2e-3, (r.Z, r.nelec, r.n, r.l, s)
+    assert any(r.en_auger_ev > 0 for r in rows)
+    assert any(r.prob_num_auger[1] > 0.5 for r in rows)  # K shells
+
+    # Fe-rich LTE cell
+    nd = np.zeros((1, ad.nelements))
+    nd[0, :] = 1e5
+    nd[0, 1] = 1e7  # Fe (elements: Si, Fe, Co, Ni)
+    Te = np.array([8000.0])
+    pops = lte.solve_lte_populations(ad, nd, Te)
+    nl = lte.level_populations(ad, pops, Te)
+    nne = np.maximum(pops.nne, 1e6)
+
+    s_aug = SpencerFanoSolver(ad, sfpts=192, colliondata=rows)
+    rows_plain = read_collion(DATA_DIR)  # no Auger attached
+    s_plain = SpencerFanoSolver(ad, sfpts=192, colliondata=rows_plain)
+    sol_a = s_aug.solve(nne, nl, pops.ion_numberdens)
+    sol_p = s_plain.solve(nne, nl, pops.ion_numberdens)
+
+    # Auger contribution changes the degradation spectrum -> the
+    # heating/ionisation split shifts
+    assert sol_a.frac_ionization[0] != pytest.approx(
+        sol_p.frac_ionization[0], rel=1e-6)
+    # multi-electron probabilities: with Auger on, some populated ion
+    # has P(>=1 extra electron) > 0; without, all mass sits at a=0
+    pa = sol_a.prob_num_auger[0]
+    pp = sol_p.prob_num_auger[0]
+    np.testing.assert_allclose(pa.sum(axis=1), 1.0, atol=1e-6)
+    assert pp[:, 1:].max() == 0.0
+    assert pa[:, 1:].max() > 0.01

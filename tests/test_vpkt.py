@@ -100,3 +100,33 @@ def test_read_vpkt_txt(tmp_path):
     np.testing.assert_allclose(d1[2], -0.5, atol=1e-12)
     # second observer at phi=90 deg: direction in the y-z plane
     np.testing.assert_allclose(d1[0], 0.0, atol=1e-12)
+
+
+def test_vpkt_stokes_qu():
+    """With polarisation on, e-scatter peels carry Stokes Q/U through
+    the Bulla+2015 frame chain (rlc_emiss_vpkt, vpkt.cc:124-180):
+    Q/U spectra exist, are finite, |Q|,|U| <= I per bin, and in a
+    scattering medium some polarised signal appears. Isotropic
+    thermal peels contribute zero polarisation, so the grey run
+    without scatterings has Q = U = 0."""
+    from artis_tpu.atomic import make_synthetic_atomic_data
+    cfg = SimConfig(npkts=2500, ntimesteps=4, tmin_days=5.0,
+                    tmax_days=20.0, ftstep=4, opacity_case=4,
+                    seed=99, vpkt_on=True, polarization_on=True,
+                    num_grey_timesteps=0, num_lte_timesteps=1,
+                    vpkt_obs=((0.0, 0.0, 1.0), (1.0, 0.0, 0.0)),
+                    vpkt_nnubins=48, compact_min_size=64)
+    model = make_toy_1d_model(nshells=6, mni56_msun=0.4, tmin=cfg.tmin)
+    ad = make_synthetic_atomic_data()
+    sim = Simulation(model, cfg, atomic_data=ad)
+    sim.run(verbose=False, checkpoint=False)
+    assert sim.vspec_Q.shape == sim.vspec_I.shape
+    assert np.all(np.isfinite(sim.vspec_Q))
+    assert np.all(np.isfinite(sim.vspec_U))
+    # per-bin physical bound |Q|, |U| <= I (small f32 slack)
+    assert np.all(np.abs(sim.vspec_Q) <= sim.vspec_I + 1e-6)
+    assert np.all(np.abs(sim.vspec_U) <= sim.vspec_I + 1e-6)
+    # electron scattering happened, so some peels were polarised
+    if sim.dep_log[-1]["escounter"] > 100:
+        assert (np.abs(sim.vspec_Q).sum()
+                + np.abs(sim.vspec_U).sum()) > 0

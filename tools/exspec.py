@@ -26,7 +26,7 @@ def read_packets_file(path: str) -> dict:
     """Read a text packet dump written by output.write_packets_file
     (the packets00_XXXX.out analogue, packet.cc:211-294)."""
     cols = np.loadtxt(path, ndmin=2)
-    return {
+    out = {
         "cell": cols[:, 1].astype(np.int64),
         "ptype": cols[:, 2].astype(np.int64),
         "pos": cols[:, 3:6],
@@ -39,6 +39,13 @@ def read_packets_file(path: str) -> dict:
         "escape_time": cols[:, 14],
         "nscatterings": cols[:, 15].astype(np.int64),
     }
+    if cols.shape[1] >= 21:
+        out["stokes_q"] = cols[:, 16]
+        out["stokes_u"] = cols[:, 17]
+        out["emissiontype"] = cols[:, 18].astype(np.int64)
+        out["absorptiontype"] = cols[:, 19].astype(np.int64)
+        out["absorption_nu"] = cols[:, 20]
+    return out
 
 
 def main():
@@ -97,7 +104,34 @@ def main():
         os.path.join(args.rundir, "light_curve.out"), spec)
     print(f"exspec: {len(esc['e_rf'])} escaped r-packets -> spec.out, "
           f"light_curve.out")
+
+    # Stokes spectra from the real escaped packets (write_specpol,
+    # spectrum.cc:214-305)
+    if "stokes_q" in esc:
+        I, Q, U = spectra_mod.build_specpol(esc, ts, args.nu_min,
+                                            args.nu_max, args.nnubins)
+        spectra_mod.write_specpol(
+            os.path.join(args.rundir, "specpol.out"), ts, I, Q, U,
+            args.nu_min, args.nu_max)
+        print("exspec: wrote specpol.out")
+
+    # escaped gamma packets (exspec.cc:190-196, 214)
+    from artis_tpu.packets import TYPE_GAMMA
+    gesc = spectra_mod.select_escaped(packs, TYPE_GAMMA)
+    if len(gesc["e_rf"]):
+        gspec = spectra_mod.build_spectra(gesc, ts, args.nu_min * 10,
+                                          args.nu_max * 1e5,
+                                          args.nnubins)
+        spectra_mod.write_spectrum(
+            os.path.join(args.rundir, "gamma_spec.out"), gspec)
+        spectra_mod.write_light_curve(
+            os.path.join(args.rundir, "gamma_light_curve.out"), gspec)
+        print(f"exspec: {len(gesc['e_rf'])} escaped gamma packets")
+
     if args.angle_bins:
+        # direction-binned spectra / light curves / Stokes spectra
+        # (exspec.cc:142-250: spec_res_XX, light_curve_res_XX,
+        # specpol_res_XX for the 10x10 escape-direction bins)
         for a in range(100):
             s = spectra_mod.build_spectra(esc, ts, args.nu_min,
                                           args.nu_max, args.nnubins,
@@ -105,7 +139,19 @@ def main():
             spectra_mod.write_light_curve(
                 os.path.join(args.rundir,
                              f"light_curve_res_{a:02d}.out"), s)
-        print("exspec: wrote 100 direction-binned light curves")
+            spectra_mod.write_spectrum(
+                os.path.join(args.rundir, f"spec_res_{a:02d}.out"), s)
+            if "stokes_q" in esc:
+                I, Q, U = spectra_mod.build_specpol(
+                    esc, ts, args.nu_min, args.nu_max, args.nnubins,
+                    abin=a)
+                spectra_mod.write_specpol(
+                    os.path.join(args.rundir,
+                                 f"specpol_res_{a:02d}.out"),
+                    ts, I, Q, U, args.nu_min, args.nu_max)
+        print("exspec: wrote 100 direction-binned spectra, light "
+              "curves" + (" and Stokes spectra"
+                          if "stokes_q" in esc else ""))
 
 
 if __name__ == "__main__":
