@@ -93,6 +93,12 @@ class SimConfig:
     # per-line emission/absorption counters -> linestat.out
     # (sn3d.cc:62-84); detailed mode only
     linestat_on: bool = True
+    # syn-mode Compton/pair emissivity estimators toward syn_dir
+    # (emissivities.cc:14-140; the legacy gamma-ray synthesis mode,
+    # input.txt estimator-mode line); binned over log nu in
+    # [nusyn_min, nusyn_max]
+    syn_emissivity_on: bool = False
+    syn_emiss_bins: int = 64
     # per-(cell, ion) energy-flow statistics (TRACK_ION_STATS,
     # stats.h:12-45); off by default, matching the reference variants
     track_ion_stats: bool = False

@@ -141,6 +141,8 @@ class Simulation:
                 rf_nbins=self._rf_nbins(),
                 vp_shape=self._vp_shape(),
                 nlines_stat=self._nlines_stat(),
+                ion_stats_nions=self._ion_stats_nions(),
+                syn_emiss_bins=self._syn_emiss_bins(),
                 relativistic=cfg.use_relativistic_doppler,
                 detailed=self.detailed,
                 polarization=cfg.polarization_on,
@@ -153,6 +155,15 @@ class Simulation:
                     detailed=self.detailed,
                     polarization=cfg.polarization_on,
                     vpkt=cfg.vpkt_on))
+
+    def _syn_emiss_bins(self) -> int:
+        return (self.cfg.syn_emiss_bins
+                if self.cfg.syn_emissivity_on else 0)
+
+    def _ion_stats_nions(self) -> int:
+        return (self.atomic_data.nions_total
+                if (self.detailed and self.cfg.track_ion_stats
+                    and self.atomic_data is not None) else 0)
 
     def _nlines_stat(self) -> int:
         return (self.atomic_data.nlines
@@ -328,6 +339,11 @@ class Simulation:
             rf_lognu_min=f32(np.log(cfg.nu_min_r)),
             rf_dlognu=f32((np.log(cfg.nu_max_r) - np.log(cfg.nu_min_r))
                           / max(cfg.radfield_nbins, 1)),
+            syn_dir=jnp.asarray(_unit_rows(cfg.syn_dir)[0], f32),
+            syn_lognu_min=f32(np.log(max(cfg.nusyn_min, 1.0))),
+            syn_dlognu=f32((np.log(max(cfg.nusyn_max, 2.0))
+                            - np.log(max(cfg.nusyn_min, 1.0)))
+                           / max(cfg.syn_emiss_bins, 1)),
             vpkt_obs=jnp.asarray(_unit_rows(cfg.vpkt_obs), f32),
             vpkt_t_edges=jnp.asarray(
                 np.append(self.ts.start, self.ts.start[-1]
@@ -429,6 +445,13 @@ class Simulation:
             tables = grid_device_tables(g, self.cfg, self.units,
                                         levelpops=levelpops,
                                         kff_base=kff_base)
+            if not hasattr(self, "_level_ion_dev"):
+                ion_of_lvl = np.repeat(
+                    np.arange(self.atomic_data.nions_total),
+                    np.diff(self.atomic_data.ion_level_start)
+                ).astype(np.int32)
+                self._level_ion_dev = jnp.asarray(ion_of_lvl)
+            tables["level_ion"] = self._level_ion_dev
             pad = lambda a: np.concatenate(
                 [a, np.zeros((1,) + a.shape[1:], a.dtype)])
             # macro-atom tables built ON DEVICE (jitted, float32,
@@ -700,12 +723,22 @@ class Simulation:
             append_estimators(est_path, self.grid, nts, self.ts,
                               heatingcooling=getattr(
                                   self, "_heatcool", None))
+            if (getattr(self, "_ion_stats_prev", None) is not None
+                    and self.deltat_prev > 0):
+                from .output import append_ion_stats
+                g = self.grid
+                deltaV = g.vol_init * (tmid / g.tmin) ** 3
+                append_ion_stats(
+                    est_path, self.atomic_data, self._ion_stats_prev,
+                    nts, self.units.e0 / (deltaV * self.deltat_prev))
 
         pk = self.packets
         rf_nbins = self._rf_nbins()
         vp_shape = self._vp_shape()
         est = zero_estimators(self.grid.nmodel, rf_nbins, vp_shape,
-                              nlines_stat=self._nlines_stat())
+                              nlines_stat=self._nlines_stat(),
+                              ion_stats_nions=self._ion_stats_nions(),
+                              syn_emiss_bins=self._syn_emiss_bins())
         chunks = 0
         iters_done = 0
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
@@ -732,7 +765,9 @@ class Simulation:
                             from_numpy(to_numpy(self.packets)))
                         est = zero_estimators(
                             self.grid.nmodel, rf_nbins, vp_shape,
-                            nlines_stat=self._nlines_stat())
+                            nlines_stat=self._nlines_stat(),
+                            ion_stats_nions=self._ion_stats_nions(),
+                            syn_emiss_bins=self._syn_emiss_bins())
                         compact_stack, snap_stack = [], []
                     else:
                         pk = self._place_batch(from_numpy(snap[0]))
@@ -807,7 +842,7 @@ class Simulation:
         self.est_prev = {k: est_np[k] for k in
                          ("J", "nuJ", "ffheat", "colheat", "dep_cell")
                          if k in est_np}
-        for k in ("J_bin", "nuJ_bin"):
+        for k in ("J_bin", "nuJ_bin", "compton_emiss", "pp_emiss"):
             if k in est_np:
                 self.est_prev[k] = est_np[k]
         self.deltat_prev = float(self.ts.width[nts])
@@ -821,7 +856,24 @@ class Simulation:
                 "vpkt_Q", np.zeros_like(est_np["vpkt_I"]))
             self.vspec_U = self.vspec_U + est_np.get(
                 "vpkt_U", np.zeros_like(est_np["vpkt_I"]))
+        if "ion_stats" in est_np:
+            self._ion_stats_prev = est_np["ion_stats"]
         self._record_deposition(nts, est_np)
+        if self.out_dir and "compton_emiss" in est_np:
+            # compton/pp emissivity estimators, normalised by
+            # 1/(dV dt) (normalise_compton_estimators,
+            # emissivities.cc:172-220)
+            from .output import write_compton_estimators
+            g = self.grid
+            deltaV = g.vol_init * (tmid / g.tmin) ** 3
+            norm = self.units.e0 * self.units.x_unit / (
+                deltaV * self.deltat_prev)
+            write_compton_estimators(
+                os.path.join(self.out_dir, f"compton_emiss_{nts:04d}.out"),
+                np.asarray(est_np["compton_emiss"])[:g.nmodel]
+                * norm[:, None],
+                np.asarray(est_np["pp_emiss"])[:g.nmodel] * norm,
+                self.cfg, nts)
         if self.out_dir and "line_em" in est_np:
             from .output import (write_linestat_header,
                                  append_linestat)

@@ -179,3 +179,65 @@ def append_linestat(path: str, em_counts, ab_counts) -> None:
     with open(path, "a") as f:
         f.write(" ".join(str(int(round(v))) for v in em_counts) + " \n")
         f.write(" ".join(str(int(round(v))) for v in ab_counts) + " \n")
+
+
+ION_STAT_NAMES = [
+    # stats.h:12-45 enum order; only the columns the kernel fills are
+    # nonzero: 0 radrecomb_ma, 4 bb_ma, 5 bb_absorbed, 6 ntion,
+    # 7 photoion, 18-21 ma_energyout (raddeexc/radrecomb/colldeexc/
+    # collrecomb), 22 energyin_radexc, 23 energyin_photoion,
+    # 27 energyin_ntcollion, 28 energyin_total, 29 energyout_total
+    "radrecomb_macroatom", "radrecomb_kpkt", "radrecomb_absorbed",
+    "radrecomb_escaped", "boundbound_macroatom", "boundbound_absorbed",
+    "ntion", "photoion", "photoion_frombf", "photoion_frombfsameelem",
+    "photoion_frombfionplusone", "photoion_frombfionplustwo",
+    "photoion_frombfionplusthree", "photoion_frombflowersuperlevel",
+    "photoion_frombb", "photoion_frombbionplusone",
+    "photoion_frombbionplustwo", "photoion_frombbionplusthree",
+    "ma_energyout_raddeexc", "ma_energyout_radrecomb",
+    "ma_energyout_colldeexc", "ma_energyout_collrecomb",
+    "ma_energyin_radexc", "ma_energyin_photoion",
+    "ma_energyin_collexc", "ma_energyin_collion", "_unused26",
+    "ma_energyin_ntcollion", "ma_energyin_total", "ma_energyout_total",
+    "ma_energyin_internal", "ma_energyout_internal",
+]
+
+
+def append_ion_stats(path: str, ad, ion_stats: np.ndarray, nts: int,
+                     norm: np.ndarray):
+    """Per-(cell, ion) energy-flow rows (TRACK_ION_STATS output,
+    update_grid.cc TRACK_ION_STATS blocks): one row per (cell, ion)
+    with the 32 normalised stats [erg/s/cm^3].  ``norm``: [ncells]
+    e0/(deltaV*deltat) factors."""
+    ncells = ion_stats.shape[0]
+    with open(path, "a") as f:
+        for mgi in range(min(ncells, len(norm))):
+            for i in range(ad.nions_total):
+                row = ion_stats[mgi, i] * norm[mgi]
+                if not row.any():
+                    continue
+                z = ad.elem_z[ad.ion_element[i]]
+                f.write(f"ionstats timestep {nts} modelgridindex "
+                        f"{mgi} Z {z} ionstage {ad.ion_stage[i]} "
+                        + " ".join(f"{v:.4e}" for v in row) + "\n")
+
+
+def write_compton_estimators(path: str, compton_emiss: np.ndarray,
+                             pp_emiss: np.ndarray, cfg, nts: int):
+    """Normalised syn-mode emissivities (write_compton_estimators /
+    emissivities.cc:172-258 analogue): per cell, the Compton
+    emissivity toward syn_dir per log-nu bin plus the 511 keV
+    pair-production emissivity [erg/s/cm^3]."""
+    ncells, nbins = compton_emiss.shape
+    lognu_min = np.log(max(cfg.nusyn_min, 1.0))
+    dlognu = (np.log(max(cfg.nusyn_max, 2.0)) - lognu_min) / nbins
+    nu_c = np.exp(lognu_min + (np.arange(nbins) + 0.5) * dlognu)
+    with open(path, "w") as f:
+        f.write(f"#timestep {nts} syn emissivities; columns: "
+                "modelgridindex pp_emiss then compton emiss per bin\n")
+        f.write("#nu_bin_centres_Hz " +
+                " ".join(f"{v:.4e}" for v in nu_c) + "\n")
+        for mgi in range(ncells):
+            f.write(f"{mgi} {pp_emiss[mgi]:.5e} "
+                    + " ".join(f"{v:.5e}"
+                               for v in compton_emiss[mgi]) + "\n")

@@ -109,6 +109,7 @@ def make_sharded_step(mesh: Mesh, *, grid_type: str, ncoord: int,
 def make_sharded_chunk_step(mesh: Mesh, *, grid_type: str, ncoord: int,
                             nmodel: int, rf_nbins: int = 0,
                             vp_shape=None, nlines_stat: int = 0,
+                            ion_stats_nions: int = 0,
                             relativistic: bool = False,
                             detailed: bool = False,
                             polarization: bool = False,
@@ -132,7 +133,8 @@ def make_sharded_chunk_step(mesh: Mesh, *, grid_type: str, ncoord: int,
     def body(pk, tables, params, t2, nts_is_first, base_key,
              chunk_iters):
         est0 = zero_estimators(nmodel, rf_nbins, vp_shape,
-                               nlines_stat=nlines_stat)
+                               nlines_stat=nlines_stat,
+                               ion_stats_nions=ion_stats_nions)
         pk2, delta, n_act = run_timestep_chunk(
             pk, est0, tables, params, t2, nts_is_first, base_key,
             chunk_iters, grid_type=grid_type, ncoord=ncoord,

@@ -100,6 +100,14 @@ class TransportParams:
     vpkt_lognu_min: jax.Array  # f32
     vpkt_dlognu: jax.Array  # f32
     vpkt_tau_max: jax.Array  # f32
+    # syn-mode emissivity binning (emissivities.cc analogue)
+    syn_dir: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.array([0.0, 0.0, 1.0],
+                                          jnp.float32))
+    syn_lognu_min: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0))
+    syn_dlognu: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1.0))
 
 
 def make_planck_table(npts: int = 1024) -> tuple[np.ndarray, np.ndarray]:
@@ -119,9 +127,25 @@ def make_planck_table(npts: int = 1024) -> tuple[np.ndarray, np.ndarray]:
 
 def zero_estimators(nmodel: int, radfield_nbins: int = 0,
                     vpkt_shape=None,
-                    nlines_stat: int = 0) -> dict[str, jax.Array]:
+                    nlines_stat: int = 0,
+                    ion_stats_nions: int = 0,
+                    syn_emiss_bins: int = 0) -> dict[str, jax.Array]:
     z = lambda: jnp.float32(0.0)
     out = {}
+    if syn_emiss_bins > 0:
+        # syn-mode Compton + pair-production emissivity estimators
+        # toward syn_dir (compton_emiss_cont / pp_emiss_cont,
+        # emissivities.cc:14-140); binned over log nu_syn instead of
+        # the reference's gamma-line index grid
+        out["compton_emiss"] = jnp.zeros((nmodel + 1, syn_emiss_bins),
+                                         jnp.float32)
+        out["pp_emiss"] = jnp.zeros(nmodel + 1, jnp.float32)
+    if ion_stats_nions > 0:
+        # per-(cell, ion) energy-flow statistics (TRACK_ION_STATS,
+        # stats.h:12-45; 32 columns in the reference enum layout,
+        # the subset filled is documented in output.append_ion_stats)
+        out["ion_stats"] = jnp.zeros((nmodel + 1, ion_stats_nions, 32),
+                                     jnp.float32)
     if nlines_stat > 0:
         # per-line emission/absorption counters (linestat.out,
         # sn3d.cc:62-84; ecounter/acounter accumulation)
@@ -375,6 +399,13 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     if "line_em" in est:
         est_line_em = est["line_em"]
         est_line_ab = est["line_ab"]
+    # per-(cell, ion) energy-flow stats (TRACK_ION_STATS)
+    if "ion_stats" in est:
+        est_ion = est["ion_stats"]
+
+        def _lvl_ion(levels):
+            li = tables["level_ion"]
+            return li[jnp.clip(levels, 0, li.shape[0] - 1)]
 
     def upd(mask, **kw):
         for k, v in kw.items():
@@ -512,6 +543,12 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         lep_ion = lep_ion & (nt_lvl >= 0) & (tot_w_nt > 0)
         upd(lep_ion, ptype=TYPE_MA, ma_level=jnp.maximum(nt_lvl, 0),
             next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
+        if "ion_stats" in est:
+            # ION_NTION(6), ENERGYIN_NTCOLLION(27), ENERGYIN_TOTAL(28)
+            ion_nt = _lvl_ion(jnp.maximum(nt_lvl, 0))
+            w_nt = jnp.where(lep_ion, pk.e_cmf, 0.0)
+            for col in (6, 27, 28):
+                est_ion = est_ion.at[mgi, ion_nt, col].add(w_nt)
         lep_exc = jnp.zeros_like(m_lep)
         if "nt_exc_cum" in tables:
             # NT excitation channel (do_ntlepton's NT_EXCITATION_ON
@@ -693,6 +730,20 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(ma_uphigher & ~has_cont, ptype=TYPE_KPKT,
             next_trans=jnp.int32(-1))
 
+        if "ion_stats" in est:
+            # energy OUT of the active ion at deactivation
+            # (stats.h:18-21, 29) + ION_RADRECOMB_MACROATOM(0)
+            ion_cur = _lvl_ion(lvl)
+            e = pk.e_cmf
+            for mask, cols in (
+                    (ma_rad, (18, 29)),
+                    (ma_radrec, (0, 19, 29)),
+                    (m_ma & ~ma_stuck & (k_proc == 1), (20, 29)),
+                    (m_ma & ~ma_stuck & (k_proc == 5), (21, 29))):
+                w = jnp.where(mask, e, 0.0)
+                for col in cols:
+                    est_ion = est_ion.at[mgi, ion_cur, col].add(w)
+
         colheat_contrib = jnp.where(ma_col, pk.e_cmf, 0.0)
         cnt["ma_deact_rad"] += mcount(ma_rad | ma_radrec)
         cnt["ma_deact_col"] += mcount(ma_col)
@@ -811,6 +862,12 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                          0, params.line_upper.shape[0] - 1)
         upd(k_exc, ptype=TYPE_MA, ma_level=params.line_upper[k_sel],
             next_trans=jnp.int32(-1))
+        if "ion_stats" in est:
+            # ENERGYIN_COLLEXC(24), ENERGYIN_TOTAL(28)
+            ion_ke = _lvl_ion(params.line_upper[k_sel])
+            w_ke = jnp.where(k_exc, new["e_cmf"], 0.0)
+            for col in (24, 28):
+                est_ion = est_ion.at[mgi, ion_ke, col].add(w_ke)
 
         # collisional ionisation: continuum -> macro-atom in the upper
         # ion target level (kpkt.cc:762-820)
@@ -820,6 +877,12 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(k_ion, ptype=TYPE_MA,
             ma_level=params.cont_upperlevel[k_ion_cont],
             next_trans=jnp.int32(-1))
+        if "ion_stats" in est:
+            # ENERGYIN_COLLION(25), ENERGYIN_TOTAL(28)
+            ion_ki = _lvl_ion(params.cont_upperlevel[k_ion_cont])
+            w_ki = jnp.where(k_ion, new["e_cmf"], 0.0)
+            for col in (25, 28):
+                est_ion = est_ion.at[mgi, ion_ki, col].add(w_ki)
     else:
         m_kbb = m_kpkt_all
 
@@ -1021,6 +1084,40 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     nu_cmf_mid = pk.nu_rf * dopp_mid
     contrib_mask = m_rpkt & ~is_empty
     dJ = jnp.where(contrib_mask, dist * e_cmf_mid, 0.0)
+
+    if "compton_emiss" in est:
+        # Compton emissivity toward syn_dir (compton_emiss_cont,
+        # emissivities.cc:14-110), with the cell's nne folded in at
+        # accumulation time instead of at normalisation
+        syn_b = jnp.broadcast_to(params.syn_dir, pos_mid.shape)
+        vel_mid = geo.flow_velocity(pos_mid, t_mid)
+        cmf_dir = geo.normalize3(geo.angle_ab(dir_b, vel_mid))
+        cmf_syn = geo.normalize3(geo.angle_ab(syn_b, vel_mid))
+        mu_cmf = jnp.clip(geo.dot3(cmf_dir, cmf_syn), -1.0, 1.0)
+        f_c = 1.0 + (jnp.float32(H / (ME * CLIGHT**2)) * nu_cmf_mid
+                     * (1.0 - mu_cmf))
+        dsig = (jnp.float32(0.0596831 * SIGMA_T) / (f_c * f_c)
+                * (f_c + 1.0 / f_c + mu_cmf * mu_cmf - 1.0))
+        nne_len = tables["nnetot_sig"][mgi] / jnp.float32(SIGMA_T)
+        emiss_c = (pk.e_rf * dsig * dist * dopp_mid * dopp_mid / f_c
+                   * nne_len)
+        freq_out = nu_cmf_mid / f_c
+        nsynb = est["compton_emiss"].shape[1]
+        ibin_s = ((jnp.log(jnp.maximum(freq_out, 1.0))
+                   - params.syn_lognu_min)
+                  / params.syn_dlognu).astype(jnp.int32)
+        contrib_gam = m_gam & (mgi < nmodel)
+        ok_s = contrib_gam & (ibin_s >= 0) & (ibin_s < nsynb)
+        est_out_ce = est["compton_emiss"].at[
+            mgi, jnp.clip(ibin_s, 0, nsynb - 1)].add(
+            jnp.where(ok_s, emiss_c, 0.0))
+        # pair-production 511 keV emissivity (pp_emiss_cont,
+        # emissivities.cc:112-137; 2.46636e20 Hz = 2 m_e c^2 / h)
+        emiss_pp = (kap_pp * (jnp.float32(2.46636e20)
+                              / jnp.maximum(nu_cmf_mid, 1e10))
+                    * pk.e_rf * dist)
+        est_out_pp = est["pp_emiss"].at[mgi].add(
+            jnp.where(contrib_gam, emiss_pp, 0.0))
     if detailed:
         # free-free heating estimator: distance * e_cmf * kappa_ff
         # (update_estimators, rpkt.cc:578-582)
@@ -1162,6 +1259,13 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         if "line_ab" in est:
             est_line_ab = est_line_ab.at[wl_c].add(
                 jnp.where(bb_hit, 1.0, 0.0))
+        if "ion_stats" in est:
+            # ION_BOUNDBOUND_MACROATOM(4), _ABSORBED(5),
+            # ENERGYIN_RADEXC(22), ENERGYIN_TOTAL(28)
+            ion_bb = _lvl_ion(params.line_upper[wl_c])
+            w_bb = jnp.where(bb_hit, pk.e_cmf, 0.0)
+            for col in (4, 5, 22, 28):
+                est_ion = est_ion.at[mgi, ion_bb, col].add(w_bb)
         upd(line_pass, next_trans=j_new)
 
         # continuum event: electron scatter vs free-free vs bound-free
@@ -1228,6 +1332,12 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(bf_to_ma, ptype=TYPE_MA,
             ma_level=params.cont_upperlevel[bf_cont],
             next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
+        if "ion_stats" in est:
+            # ION_PHOTOION(7), ENERGYIN_PHOTOION(23), ENERGYIN_TOTAL
+            ion_bf = _lvl_ion(params.cont_upperlevel[bf_cont])
+            w_bf = jnp.where(bf_to_ma, pk.e_cmf, 0.0)
+            for col in (7, 23, 28):
+                est_ion = est_ion.at[mgi, ion_bf, col].add(w_bf)
         upd(ev_bf & ~bf_to_ma, ptype=TYPE_KPKT,
             next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
         n_line_pass = mcount(line_pass)
@@ -1404,6 +1514,11 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     if "line_em" in est:
         est_out["line_em"] = est_line_em
         est_out["line_ab"] = est_line_ab
+    if "ion_stats" in est:
+        est_out["ion_stats"] = est_ion
+    if "compton_emiss" in est:
+        est_out["compton_emiss"] = est_out_ce
+        est_out["pp_emiss"] = est_out_pp
     if "J_bin" in est:
         est_out["J_bin"] = est_J_bin
         est_out["nuJ_bin"] = est_nuJ_bin

@@ -89,3 +89,42 @@ def test_emission_absorption_attribution(sim_done):
     # bound-bound absorption events were recorded
     assert np.any(esc["absorptiontype"] >= 0)
     assert ab.sum() > 0
+
+
+def test_track_ion_stats():
+    """TRACK_ION_STATS (stats.h:12-45): per-(cell, ion) energy-flow
+    estimators accumulate during detailed transport; the filled
+    in/out totals must be consistent with the MA event counters and
+    the rows appear in estimators_0000.out."""
+    import os
+    from artis_tpu import SimConfig, Simulation, make_toy_1d_model
+    from artis_tpu.atomic import make_synthetic_atomic_data
+
+    cfg = SimConfig(npkts=800, ntimesteps=3, tmin_days=3.0,
+                    tmax_days=10.0, ftstep=3, opacity_case=4, seed=17,
+                    num_grey_timesteps=0, num_lte_timesteps=1,
+                    track_ion_stats=True, compact_min_size=64)
+    model = make_toy_1d_model(nshells=6, tmin=cfg.tmin)
+    ad = make_synthetic_atomic_data()
+    out = "/tmp/ionstats_out"
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    sim = Simulation(model, cfg, atomic_data=ad, out_dir=out)
+    sim.run(checkpoint=False, verbose=False)
+
+    st = sim._ion_stats_prev  # [ncells+1, nions, 32]
+    assert st.shape[1] == ad.nions_total and st.shape[2] == 32
+    assert np.isfinite(st).all() and (st >= 0).all()
+    tot_in = st[..., 28].sum()
+    tot_out = st[..., 29].sum()
+    assert tot_in > 0, "no macro-atom activations tracked"
+    # every deactivation follows an activation of the same packet, so
+    # summed energy out <= energy in (packets still active at the
+    # timestep end hold the difference)
+    assert tot_out <= tot_in * 1.001
+    # bb activations energy == energyin_radexc by construction
+    np.testing.assert_allclose(st[..., 4].sum(), st[..., 22].sum(),
+                               rtol=1e-5)
+    with open(os.path.join(out, "estimators_0000.out")) as f:
+        txt = f.read()
+    assert "ionstats timestep" in txt

@@ -120,3 +120,42 @@ def test_checkpoint_preserves_cumulative_state(tmp_path):
     assert sim2.dep_log == sim.dep_log
     for k, v in sim.est_prev.items():
         np.testing.assert_array_equal(sim2.est_prev[k], v, err_msg=k)
+
+
+def test_walltime_heuristic_with_slow_timestep(tmp_path, monkeypatch):
+    """The 1.5x-slowest-timestep headroom rule
+    (walltime_sufficient_to_continue, sn3d.cc:420-451): with a
+    measured slow timestep and a budget that leaves less than
+    1.5x that, the run checkpoints and stops mid-job rather than at
+    the first step (round-1 coverage only exercised
+    walltime_limit_s=0)."""
+    import time as time_mod
+    cfg = _cfg(ntimesteps=6, ftstep=6)
+    model = make_toy_1d_model(nshells=8, mni56_msun=0.2, tmin=cfg.tmin)
+    out = str(tmp_path / "slow")
+    sim = Simulation(model, cfg, out_dir=out)
+
+    real_advance = sim.advance_one_timestep
+
+    def slow_advance(**kw):
+        real_advance(**kw)
+        time_mod.sleep(1.0)  # every timestep 'costs' >= 1 s
+
+    monkeypatch.setattr(sim, "advance_one_timestep", slow_advance)
+    t0 = time_mod.time()
+    # budget for ~2-3 slow timesteps: the run must do at least one,
+    # stop before finishing all six, and leave a resumable checkpoint
+    done = sim.run(walltime_limit_s=3.0, verbose=False)
+    assert done is False
+    assert 1 <= sim.nts_done < 6
+    import os
+    cps = [f for f in os.listdir(out) if f.startswith("checkpoint_ts")]
+    assert cps
+    # resume completes the remaining timesteps
+    sim2 = Simulation(make_toy_1d_model(nshells=8, mni56_msun=0.2,
+                                        tmin=cfg.tmin), cfg,
+                      out_dir=out)
+    sim2.load_checkpoint(os.path.join(out, max(
+        cps, key=lambda f: int(f.split("_ts")[1].split(".")[0]))))
+    assert sim2.run(verbose=False, checkpoint=False) is True
+    assert sim2.nts_done == 6

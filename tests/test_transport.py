@@ -147,3 +147,29 @@ def test_resume_equals_continuous(tmp_path):
     for k in arr_a:
         np.testing.assert_array_equal(arr_a[k], arr_c[k], err_msg=k)
     np.testing.assert_allclose(sim_a.grid.Te, sim_c.grid.Te, rtol=1e-6)
+
+
+def test_syn_emissivity_estimators(tmp_path):
+    """syn-mode Compton/pair emissivity estimators (emissivities.cc
+    analogue): enabled via syn_emissivity_on, gamma transport
+    accumulates finite non-negative per-(cell, bin) emissivities and
+    the per-timestep file is written."""
+    import os
+    from artis_tpu import SimConfig, Simulation, make_toy_1d_model
+
+    cfg = SimConfig(npkts=2000, ntimesteps=3, tmin_days=3.0,
+                    tmax_days=10.0, ftstep=3, opacity_case=0,
+                    grey_op=0.05, seed=11, syn_emissivity_on=True,
+                    syn_emiss_bins=32)
+    model = make_toy_1d_model(nshells=8, mni56_msun=0.4, tmin=cfg.tmin)
+    out = str(tmp_path / "syn")
+    sim = Simulation(model, cfg, out_dir=out)
+    sim.run(checkpoint=False, verbose=False)
+    ce = np.asarray(sim.est_prev["compton_emiss"])
+    pp = np.asarray(sim.est_prev["pp_emiss"])
+    assert np.isfinite(ce).all() and (ce >= 0).all()
+    assert np.isfinite(pp).all() and (pp >= 0).all()
+    assert ce.sum() > 0, "no Compton emissivity accumulated"
+    files = [f for f in os.listdir(out)
+             if f.startswith("compton_emiss_")]
+    assert files
