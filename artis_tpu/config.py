@@ -120,6 +120,7 @@ class SimConfig:
     vpkt_vgrid_tmin_d: float = 0.0
     vpkt_vgrid_tmax_d: float = 1e30
     vpkt_vgrid_lambda_aa: tuple = ()  # (lambda_min, lambda_max) pairs [A]
+    vpkt_vgrid_nv: int = 50  # NY_VGRID/NZ_VGRID image resolution
     sf_points: int = 384  # Spencer-Fano energy grid size (SFPTS)
     sf_emin_ev: float = 1.0
     sf_emax_ev: float = 3000.0

@@ -143,6 +143,7 @@ class Simulation:
                 nlines_stat=self._nlines_stat(),
                 ion_stats_nions=self._ion_stats_nions(),
                 syn_emiss_bins=self._syn_emiss_bins(),
+                vgrid_shape=self._vgrid_shape(),
                 relativistic=cfg.use_relativistic_doppler,
                 detailed=self.detailed,
                 polarization=cfg.polarization_on,
@@ -179,6 +180,14 @@ class Simulation:
         return ((len(self.cfg.vpkt_obs), self.ts.n,
                  self.cfg.vpkt_nnubins)
                 if self.cfg.vpkt_on else None)
+
+    def _vgrid_shape(self):
+        cfg = self.cfg
+        if not (cfg.vpkt_on and cfg.vpkt_vgrid_on
+                and len(cfg.vpkt_vgrid_lambda_aa)):
+            return None
+        return (len(cfg.vpkt_obs), len(cfg.vpkt_vgrid_lambda_aa),
+                cfg.vpkt_vgrid_nv, cfg.vpkt_vgrid_nv)
 
     def _place_tables(self, tables: dict) -> dict:
         """Replicate the per-timestep tables over the mesh (the
@@ -339,6 +348,17 @@ class Simulation:
             rf_lognu_min=f32(np.log(cfg.nu_min_r)),
             rf_dlognu=f32((np.log(cfg.nu_max_r) - np.log(cfg.nu_min_r))
                           / max(cfg.radfield_nbins, 1)),
+            vgrid_nu_ranges=jnp.asarray(
+                [[CLIGHT / (lmax * 1e-8), CLIGHT / (lmin * 1e-8)]
+                 for (lmin, lmax) in cfg.vpkt_vgrid_lambda_aa]
+                or [[0.0, 0.0]], f32),
+            vgrid_t_range=jnp.asarray(
+                [self.units.time_to_sim(cfg.vpkt_vgrid_tmin_d * DAY),
+                 self.units.time_to_sim(
+                     min(cfg.vpkt_vgrid_tmax_d, 1e20) * DAY)], f32),
+            vgrid_vmax=f32(self.grid.vmax / CLIGHT
+                           if hasattr(self.grid, "vmax")
+                           else self.model.vmax / CLIGHT),
             syn_dir=jnp.asarray(_unit_rows(cfg.syn_dir)[0], f32),
             syn_lognu_min=f32(np.log(max(cfg.nusyn_min, 1.0))),
             syn_dlognu=f32((np.log(max(cfg.nusyn_max, 2.0))
@@ -434,7 +454,9 @@ class Simulation:
                     self.atomic_data, ph, pirates,
                     levelpops.astype(np.float64), nd, g.Te, g.TR,
                     g.W, g.nne, t_mid_s, radfield=rf_binned,
-                    nt_ion_rate_ion=nt_ion_rate_ion)
+                    nt_ion_rate_ion=nt_ion_rate_ion,
+                    nt_auger_prob=(sol.prob_num_auger
+                                   if sol is not None else None))
                 self.nlte_levelpops = nl_nlte
                 self.lte_levelpops = levelpops.astype(np.float64)
                 g.nne = np.where(
@@ -442,6 +464,10 @@ class Simulation:
                     nltepop_mod.nne_from_levelpops(self.atomic_data,
                                                    nl_nlte), 0.0)
                 levelpops = nl_nlte.astype(np.float32)
+            # ion-stage number densities for the estimators-file
+            # populations rows (update_grid.cc:65-91)
+            self._ionpops_est = nltepop_mod.ion_populations(
+                self.atomic_data, levelpops.astype(np.float64))
             tables = grid_device_tables(g, self.cfg, self.units,
                                         levelpops=levelpops,
                                         kff_base=kff_base)
@@ -722,7 +748,10 @@ class Simulation:
                 os.remove(est_path)
             append_estimators(est_path, self.grid, nts, self.ts,
                               heatingcooling=getattr(
-                                  self, "_heatcool", None))
+                                  self, "_heatcool", None),
+                              ad=self.atomic_data,
+                              ionpops=getattr(self, "_ionpops_est",
+                                              None))
             if (getattr(self, "_ion_stats_prev", None) is not None
                     and self.deltat_prev > 0):
                 from .output import append_ion_stats
@@ -738,7 +767,8 @@ class Simulation:
         est = zero_estimators(self.grid.nmodel, rf_nbins, vp_shape,
                               nlines_stat=self._nlines_stat(),
                               ion_stats_nions=self._ion_stats_nions(),
-                              syn_emiss_bins=self._syn_emiss_bins())
+                              syn_emiss_bins=self._syn_emiss_bins(),
+                              vgrid_shape=self._vgrid_shape())
         chunks = 0
         iters_done = 0
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
@@ -767,7 +797,8 @@ class Simulation:
                             self.grid.nmodel, rf_nbins, vp_shape,
                             nlines_stat=self._nlines_stat(),
                             ion_stats_nions=self._ion_stats_nions(),
-                            syn_emiss_bins=self._syn_emiss_bins())
+                            syn_emiss_bins=self._syn_emiss_bins(),
+                            vgrid_shape=self._vgrid_shape())
                         compact_stack, snap_stack = [], []
                     else:
                         pk = self._place_batch(from_numpy(snap[0]))
@@ -856,6 +887,14 @@ class Simulation:
                 "vpkt_Q", np.zeros_like(est_np["vpkt_I"]))
             self.vspec_U = self.vspec_U + est_np.get(
                 "vpkt_U", np.zeros_like(est_np["vpkt_I"]))
+        if "vgrid_I" in est_np:
+            if not hasattr(self, "vgrid_I"):
+                self.vgrid_I = np.zeros_like(est_np["vgrid_I"])
+                self.vgrid_Q = np.zeros_like(est_np["vgrid_I"])
+                self.vgrid_U = np.zeros_like(est_np["vgrid_I"])
+            self.vgrid_I = self.vgrid_I + est_np["vgrid_I"]
+            self.vgrid_Q = self.vgrid_Q + est_np["vgrid_Q"]
+            self.vgrid_U = self.vgrid_U + est_np["vgrid_U"]
         if "ion_stats" in est_np:
             self._ion_stats_prev = est_np["ion_stats"]
         self._record_deposition(nts, est_np)
@@ -919,16 +958,24 @@ class Simulation:
             dep_heating = frac_heat * dep_rate_density
         nd = lte_mod.elem_numberdens_from_massfracs(
             self.atomic_data, g.rho, g.elem_abund)
+        # bf-heating integrates the measured binned field when the
+        # detailed bf estimators are active (the reference's
+        # transport-accumulated bfheatingestimator, rpkt.cc:557-621)
+        rf_raw = getattr(self, "_radfield_raw", None)
+        rf_te = (rf_raw if (rf_raw is not None
+                            and self.cfg.detailed_bf_estimators)
+                 else getattr(self, "_radfield_binned", None))
         Te = thermal_mod.solve_Te(
             self.atomic_data, self.phixs, nd, g.TR, g.W, ffheat,
             colheat, tmid, g.vol_init, g.tmin, self.cfg.mintemp,
-            self.cfg.maxtemp, dep_heating=dep_heating)
+            self.cfg.maxtemp, dep_heating=dep_heating,
+            radfield=rf_te)
         g.Te = np.where(g.rho_init > 0, Te, 0.0)
         # diagnostic heating/cooling rows at the solved T_e
         # (update_grid.cc:642-649)
         self._heatcool = thermal_mod.heating_cooling_breakdown(
             self.atomic_data, self.phixs, nd, Te, g.TR, g.W, ffheat,
-            colheat, tmid, dep_heating=dep_heating)
+            colheat, tmid, dep_heating=dep_heating, radfield=rf_te)
 
     def _dep_rate_density(self, tmid: float) -> np.ndarray:
         """Local energy deposition rate density per cell [erg/s/cm^3]
@@ -1038,6 +1085,9 @@ class Simulation:
             vspec_I=getattr(self, "vspec_I", np.zeros(0)),
             vspec_Q=getattr(self, "vspec_Q", np.zeros(0)),
             vspec_U=getattr(self, "vspec_U", np.zeros(0)),
+            vgrid_I=getattr(self, "vgrid_I", np.zeros(0)),
+            vgrid_Q=getattr(self, "vgrid_Q", np.zeros(0)),
+            vgrid_U=getattr(self, "vgrid_U", np.zeros(0)),
             dep_log_json=np.bytes_(
                 json.dumps(self.dep_log).encode()),
             **{f"estprev_{k}": v
@@ -1077,7 +1127,8 @@ class Simulation:
         self.deltat_prev = float(data["deltat_prev"])
         if "vspec_I" in data.files and data["vspec_I"].size:
             self.vspec_I = data["vspec_I"]
-            for k in ("vspec_Q", "vspec_U"):
+            for k in ("vspec_Q", "vspec_U", "vgrid_I", "vgrid_Q",
+                      "vgrid_U"):
                 if k in data.files and data[k].size:
                     setattr(self, k, data[k])
         if "dep_log_json" in data.files:
@@ -1171,6 +1222,16 @@ class Simulation:
                 os.path.join(out, "vspecpol.out"), self.ts,
                 np.asarray(self.vspec_I, dtype=np.float64) * e0,
                 self.cfg.nu_min_r, self.cfg.nu_max_r, **qu)
+        if getattr(self, "vgrid_I", None) is not None:
+            from .output import write_vpkt_grid
+            write_vpkt_grid(os.path.join(out, "vpkt_grid.out"),
+                            np.asarray(self.vgrid_I, np.float64)
+                            * self.units.e0,
+                            np.asarray(self.vgrid_Q, np.float64)
+                            * self.units.e0,
+                            np.asarray(self.vgrid_U, np.float64)
+                            * self.units.e0, self.cfg,
+                            self.model.vmax)
         if getattr(self, "_radfield_binned", None) is not None:
             radfield_mod.write_radfield_file(
                 os.path.join(out, "radfield.out"),

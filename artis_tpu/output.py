@@ -28,7 +28,8 @@ def write_timesteps_file(path: str, ts: TimestepGrid):
 
 
 def append_estimators(path: str, g: Grid, nts: int, ts: TimestepGrid,
-                      heatingcooling: Optional[dict] = None):
+                      heatingcooling: Optional[dict] = None,
+                      ad=None, ionpops: Optional[np.ndarray] = None):
     """Append one timestep's per-cell state in the reference's
     estimators_XXXX.out text format (update_grid.cc:42-658):
     header line 'timestep X modelgridindex Y ... TR Te W TJ ...',
@@ -49,6 +50,20 @@ def append_estimators(path: str, g: Grid, nts: int, ts: TimestepGrid,
                 f"grey_depth {getattr(g, 'grey_depth', np.zeros(g.nmodel))[mgi]:.3f} "
                 f"thick {int(g.thick[mgi])} nne {g.nne[mgi]:.3e} "
                 f"tdays {tdays:.3f}\n")
+            if ad is not None and ionpops is not None:
+                # per-element ion-stage number densities
+                # (update_grid.cc:65-91)
+                for e_i in range(ad.nelements):
+                    i0, i1 = (ad.elem_ion_start[e_i],
+                              ad.elem_ion_start[e_i + 1])
+                    z = ad.elem_z[e_i]
+                    parts = [f"{ad.ion_stage[i]}: "
+                             f"{ionpops[mgi, i]:.3e}"
+                             for i in range(i0, i1)]
+                    total = ionpops[mgi, i0:i1].sum()
+                    f.write(f"populations Z={z} "
+                            + "  ".join(parts)
+                            + f"  SUM: {total:.3e}\n")
             if hc is not None:
                 f.write(
                     f"heating: ff {hc['heat_ff'][mgi]:.5e} "
@@ -241,3 +256,24 @@ def write_compton_estimators(path: str, compton_emiss: np.ndarray,
             f.write(f"{mgi} {pp_emiss[mgi]:.5e} "
                     + " ".join(f"{v:.5e}"
                                for v in compton_emiss[mgi]) + "\n")
+
+
+def write_vpkt_grid(path: str, I: np.ndarray, Q: np.ndarray,
+                    U: np.ndarray, cfg, vmax_cgs: float):
+    """vpkt_grid.out (write_vpkt_grid, vpkt.cc:560-660 analogue):
+    one row per (observer, range, iy, iz) with the projected
+    velocities and the accumulated Stokes fluxes [erg]."""
+    nobs, nr, nv, _ = I.shape
+    vbin = 2.0 * vmax_cgs / nv
+    with open(path, "w") as f:
+        f.write("#obs range vy_cm_s vz_cm_s I Q U\n")
+        for o_i in range(nobs):
+            for r in range(nr):
+                for iy in range(nv):
+                    vy = vmax_cgs - (iy + 0.5) * vbin
+                    for iz in range(nv):
+                        vz = vmax_cgs - (iz + 0.5) * vbin
+                        f.write(f"{o_i} {r} {vy:.5e} {vz:.5e} "
+                                f"{I[o_i, r, iy, iz]:.5e} "
+                                f"{Q[o_i, r, iy, iz]:.5e} "
+                                f"{U[o_i, r, iy, iz]:.5e}\n")

@@ -29,6 +29,9 @@ from .units import Units
 
 # packet type codes (same values as the reference enum, packet.h:6-17)
 TYPE_ESCAPE = 32
+# empty slot sentinel (domain-decomposed transport, domain.py):
+# rows whose packet has migrated away / was never filled
+TYPE_INVALID = -1
 # emission/absorption provenance codes (packet.h:49-56; kpkt.cc:469)
 EMTYPE_NOTSET = -9999000
 EMTYPE_FREEFREE = -9999999

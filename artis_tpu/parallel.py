@@ -37,6 +37,33 @@ from .transport.kernel import (run_timestep, run_timestep_chunk,
                                zero_estimators)
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialisation — the analogue of the reference's
+    MPI_Init + communicator setup (sn3d.cc:712-745), built on
+    `jax.distributed.initialize`. On a TPU pod slice the arguments
+    are discovered from the environment (TPU metadata); on other
+    platforms pass coordinator/num_processes/process_id explicitly
+    (the reference's world-rank analogue).
+
+    After this, `jax.devices()` spans every chip of every host and
+    `make_mesh()` builds a global "dp" mesh over them — the reference's
+    MPI_COMM_WORLD. There is no intra-/inter-node communicator split:
+    XLA routes collectives over ICI within a slice and DCN across
+    slices by itself, which is what the reference's node-shared
+    windows + two-level broadcast emulate by hand.
+
+    Returns the process index (the reference's `my_rank`)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes,
+                      process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
+
+
 def make_mesh(n_devices: Optional[int] = None,
               devices=None) -> Mesh:
     if devices is None:
@@ -110,6 +137,7 @@ def make_sharded_chunk_step(mesh: Mesh, *, grid_type: str, ncoord: int,
                             nmodel: int, rf_nbins: int = 0,
                             vp_shape=None, nlines_stat: int = 0,
                             ion_stats_nions: int = 0,
+                            syn_emiss_bins: int = 0, vgrid_shape=None,
                             relativistic: bool = False,
                             detailed: bool = False,
                             polarization: bool = False,
@@ -134,7 +162,9 @@ def make_sharded_chunk_step(mesh: Mesh, *, grid_type: str, ncoord: int,
              chunk_iters):
         est0 = zero_estimators(nmodel, rf_nbins, vp_shape,
                                nlines_stat=nlines_stat,
-                               ion_stats_nions=ion_stats_nions)
+                               ion_stats_nions=ion_stats_nions,
+                               syn_emiss_bins=syn_emiss_bins,
+                               vgrid_shape=vgrid_shape)
         pk2, delta, n_act = run_timestep_chunk(
             pk, est0, tables, params, t2, nts_is_first, base_key,
             chunk_iters, grid_type=grid_type, ncoord=ncoord,

@@ -48,7 +48,8 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
                     elem_numberdens: np.ndarray, Te, TR, W, nne,
                     t_mid: float, nt_ion_rate: np.ndarray | None = None,
                     radfield=None,
-                    nt_ion_rate_ion: np.ndarray | None = None
+                    nt_ion_rate_ion: np.ndarray | None = None,
+                    nt_auger_prob: np.ndarray | None = None
                     ) -> np.ndarray:
     """Solve statistical equilibrium for every element in every cell.
 
@@ -65,6 +66,11 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
         EVERY level of the ion to the upper ion's ground state, as the
         reference does (nltepop_matrix_add_nt_ionisation,
         nltepop.cc:566-592).
+    nt_auger_prob : optional [ncells, nions, NAUGER+1] multi-electron
+        probabilities P(a extra electrons) from the Spencer-Fano
+        analysis; the NT rate is then distributed over the ground
+        states of ion+1+a (the reference's Auger branch of
+        nltepop_matrix_add_nt_ionisation).
 
     Returns [ncells, nlevels] float64 populations.
     """
@@ -122,18 +128,32 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
                 add(clo, cup, rec_rate[:, cm])
         if nt_ion_rate_ion is not None:
             # non-thermal collisional ionisation: Y_nt from every level
-            # of ion i to the ground state of ion i+1
+            # of ion i to the ground state of ion i+1+a, distributed
+            # over the Auger multi-electron probabilities when given
             # (nltepop_matrix_add_nt_ionisation, nltepop.cc:566-592)
             for i in range(i0, i1 - 1):
                 s_l = ad.ion_level_start[i] - l0
                 e_l = ad.ion_level_start[i + 1] - l0
-                up_gs = ad.ion_level_start[i + 1] - l0
                 from_idx = np.arange(s_l, e_l)
-                to_idx = np.full(e_l - s_l, up_gs)
-                rates = np.broadcast_to(
-                    nt_ion_rate_ion[:, i][:, None],
-                    (ncells, e_l - s_l))
-                add(to_idx, from_idx, np.ascontiguousarray(rates))
+                if nt_auger_prob is not None:
+                    namax = nt_auger_prob.shape[2] - 1
+                    for a in range(namax + 1):
+                        up = min(i + 1 + a, i1 - 1)
+                        up_gs = ad.ion_level_start[up] - l0
+                        pa = nt_auger_prob[:, i, a]
+                        if not np.any(pa > 0):
+                            continue
+                        to_idx = np.full(e_l - s_l, up_gs)
+                        rates = (nt_ion_rate_ion[:, i] * pa)[:, None]                             * np.ones((1, e_l - s_l))
+                        add(to_idx, from_idx,
+                            np.ascontiguousarray(rates))
+                else:
+                    up_gs = ad.ion_level_start[i + 1] - l0
+                    to_idx = np.full(e_l - s_l, up_gs)
+                    rates = np.broadcast_to(
+                        nt_ion_rate_ion[:, i][:, None],
+                        (ncells, e_l - s_l))
+                    add(to_idx, from_idx, np.ascontiguousarray(rates))
 
         M = Mflat.T.reshape(ncells, n, n)
         # particle conservation replaces the ground-level equation

@@ -79,8 +79,9 @@ def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
         sfac = (SAHACONST * (g_l / g_u)[None, :] * Te**-1.5
                 * np.exp(np.minimum(E_thresh[None, :] / (KB * Te), 500.0)))
 
-    # integrals: broadcast [ncells, nc, NP] would be large; loop cells
-    # in blocks over the temperature-dependent factor instead
+    # integrals: a full [ncells, nc, NP] broadcast would be large;
+    # vectorise over cell BLOCKS instead of a per-cell Python loop
+    # (the round-1 per-cell loop was a wall at >1e3 cells)
     ncells = Te.shape[0]
     nc = ph.ncont
     alpha_sp = np.zeros((ncells, nc))
@@ -88,21 +89,31 @@ def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
     gamma = np.zeros((ncells, nc))
     bfheat = np.zeros((ncells, nc))
 
-    for c in range(ncells):
+    NP = nu.shape[1]
+    blk = max(1, int(2e7) // max(nc * NP, 1))  # ~160 MB f64 peak
+    edge = ph.cont_nu_edge[None, :, None]
+    for c0 in range(0, ncells, blk):
+        c1 = min(c0 + blk, ncells)
+        TeB = Te[c0:c1, :, None]
+        TRB = TR[c0:c1, :, None]
+        WB = W[c0:c1, :, None]
         with np.errstate(over="ignore", invalid="ignore"):
-            eTe = np.exp(-np.minimum(H * nu / (KB * Te[c, 0]), 500.0))
-            alpha_sp[c] = 4.0 * np.pi * np.sum(
-                sig * TWOOVERCLIGHTSQUARED * nu**2 * eTe * dnu, axis=1)
-            bfcool[c] = 4.0 * np.pi * np.sum(
-                sig * (nu - ph.cont_nu_edge[:, None])
-                * 2.0 * H / CLIGHT**2 * nu**2 * eTe * dnu, axis=1)
-            bnu = _planck(nu, TR[c, 0])
-            stim = -np.expm1(-np.minimum(H * nu / (KB * TR[c, 0]), 500.0))
-            gamma[c] = 4.0 * np.pi * W[c, 0] * np.sum(
-                sig / (H * nu) * bnu * stim * dnu, axis=1)
-            bfheat[c] = 4.0 * np.pi * W[c, 0] * np.sum(
-                sig * (1.0 - ph.cont_nu_edge[:, None] / nu) * bnu * stim
-                * dnu, axis=1)
+            eTe = np.exp(-np.minimum(H * nu[None] / (KB * TeB), 500.0))
+            alpha_sp[c0:c1] = 4.0 * np.pi * np.sum(
+                sig[None] * TWOOVERCLIGHTSQUARED * nu[None] ** 2 * eTe
+                * dnu[None], axis=2)
+            bfcool[c0:c1] = 4.0 * np.pi * np.sum(
+                sig[None] * (nu[None] - edge) * 2.0 * H / CLIGHT**2
+                * nu[None] ** 2 * eTe * dnu[None], axis=2)
+            bnu = _planck(nu[None], TRB)
+            stim = -np.expm1(-np.minimum(H * nu[None] / (KB * TRB),
+                                         500.0))
+            gamma[c0:c1] = 4.0 * np.pi * np.sum(
+                WB * sig[None] / (H * nu[None]) * bnu * stim
+                * dnu[None], axis=2)
+            bfheat[c0:c1] = 4.0 * np.pi * np.sum(
+                WB * sig[None] * (1.0 - edge / nu[None]) * bnu * stim
+                * dnu[None], axis=2)
     alpha_sp *= sfac
     bfcool *= sfac
 

@@ -38,11 +38,12 @@ def cooling_rates(ad: AtomicData, ph: PhixsData, nl: np.ndarray,
     c_ff = 1.426e-27 * np.sqrt(Te) * z2n * pops.nne
 
     # fb cooling: bfcooling_coeff * n_upperion * nne per continuum
-    upion_pop = np.zeros((len(Te), ph.ncont))
-    for ci in range(ph.ncont):
-        i = ph.cont_upperion[ci]
-        s, e = ad.ion_level_start[i], ad.ion_level_start[i + 1]
-        upion_pop[:, ci] = nl[:, s:e].sum(axis=1)
+    # (upper-ion pops via a segment sum; no per-continuum loop)
+    ion_of_level = np.repeat(np.arange(ad.nions_total),
+                             np.diff(ad.ion_level_start))
+    ionpop = np.zeros((len(Te), ad.nions_total))
+    np.add.at(ionpop.T, ion_of_level, np.asarray(nl, np.float64).T)
+    upion_pop = ionpop[:, ph.cont_upperion]
     c_fb = (rates.bfcooling * upion_pop * pops.nne[:, None]).sum(axis=1)
 
     # collisional excitation cooling: direct sum of
@@ -87,7 +88,8 @@ def solve_Te(ad: AtomicData, ph: PhixsData, elem_numberdens: np.ndarray,
              colheat_est: np.ndarray, t_mid: float, vol_tmin: np.ndarray,
              tmin: float, mintemp: float, maxtemp: float,
              niter: int = 24,
-             dep_heating: np.ndarray | None = None) -> np.ndarray:
+             dep_heating: np.ndarray | None = None,
+             radfield=None) -> np.ndarray:
     """Bisection on heating(T_e) - cooling(T_e) = 0 for every cell.
 
     ffheat_est/colheat_est are normalised estimator values
@@ -108,7 +110,8 @@ def solve_Te(ad: AtomicData, ph: PhixsData, elem_numberdens: np.ndarray,
     def imbalance(Te):
         pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
         nl = lte.level_populations(ad, pops, Te)
-        rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne)
+        rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne,
+                                       radfield=radfield)
         # heating: ff (estimator) + bf (analytic, T_R based) + coll est
         # + non-thermal deposition heating (thermalbalance.cc:370-390)
         bfheat = (nl[:, ph.cont_level] * rates.bfheating).sum(axis=1)
@@ -148,8 +151,8 @@ def heating_cooling_breakdown(ad: AtomicData, ph: PhixsData,
                               Te: np.ndarray, TR: np.ndarray,
                               W: np.ndarray, ffheat_est: np.ndarray,
                               colheat_est: np.ndarray, t_mid: float,
-                              dep_heating: np.ndarray | None = None
-                              ) -> dict[str, np.ndarray]:
+                              dep_heating: np.ndarray | None = None,
+                              radfield=None) -> dict[str, np.ndarray]:
     """Per-cell heating/cooling components [erg/s/cm^3] at the solved
     T_e — the diagnostic rows the reference appends to
     estimators_XXXX.out (struct heatingcoolingrates,
@@ -158,7 +161,8 @@ def heating_cooling_breakdown(ad: AtomicData, ph: PhixsData,
     Te = np.maximum(np.asarray(Te, np.float64), 1.0)
     pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
     nl = lte.level_populations(ad, pops, Te)
-    rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne)
+    rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne,
+                                   radfield=radfield)
     bfheat = (nl[:, ph.cont_level] * rates.bfheating).sum(axis=1)
     c_ff, c_fb, c_exc, c_ion = cooling_rates(ad, ph, nl, pops, Te,
                                              rates, t_mid)

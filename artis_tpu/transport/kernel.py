@@ -108,6 +108,14 @@ class TransportParams:
         default_factory=lambda: jnp.float32(0.0))
     syn_dlognu: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.float32(1.0))
+    # vpkt velocity-grid image windows (vpkt.cc:441-560): frequency
+    # ranges [nr, 2], arrival-time window (sim units), vmax (v/c)
+    vgrid_nu_ranges: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 2), jnp.float32))
+    vgrid_t_range: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.array([0.0, 1e30], jnp.float32))
+    vgrid_vmax: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.1))
 
 
 def make_planck_table(npts: int = 1024) -> tuple[np.ndarray, np.ndarray]:
@@ -129,9 +137,16 @@ def zero_estimators(nmodel: int, radfield_nbins: int = 0,
                     vpkt_shape=None,
                     nlines_stat: int = 0,
                     ion_stats_nions: int = 0,
-                    syn_emiss_bins: int = 0) -> dict[str, jax.Array]:
+                    syn_emiss_bins: int = 0,
+                    vgrid_shape=None) -> dict[str, jax.Array]:
     z = lambda: jnp.float32(0.0)
     out = {}
+    if vgrid_shape is not None:
+        # velocity-plane image grids [nobs, nranges, NV, NV] Stokes
+        # I/Q/U (vpkt_grid, vpkt.cc:441-560 / add_to_vpkt_grid)
+        out["vgrid_I"] = jnp.zeros(vgrid_shape, jnp.float32)
+        out["vgrid_Q"] = jnp.zeros(vgrid_shape, jnp.float32)
+        out["vgrid_U"] = jnp.zeros(vgrid_shape, jnp.float32)
     if syn_emiss_bins > 0:
         # syn-mode Compton + pair-production emissivity estimators
         # toward syn_dir (compton_emiss_cont / pp_emiss_cont,
@@ -390,7 +405,17 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
     mgi = tables["cell_mgi"][jnp.clip(pk.cell, 0, tables["cell_mgi"].shape[0] - 1)]
     nmodel = tables["chi_grey"].shape[0] - 1
-    active = (pk.ptype != TYPE_ESCAPE) & (pk.prop_time < t2)
+    active = ((pk.ptype != TYPE_ESCAPE) & (pk.ptype >= 0)
+              & (pk.prop_time < t2))
+    if "cell_owner" in tables:
+        # grid domain decomposition (domain.py): only the device that
+        # owns the packet's cell advances it; foreign packets stay
+        # frozen until the sorted all-to-all migration hands them to
+        # their owner (the TPU-native answer to the reference's
+        # replicated-grid transport, SURVEY.md §5.7)
+        own = tables["cell_owner"][
+            jnp.clip(pk.cell, 0, tables["cell_owner"].shape[0] - 1)]
+        active &= own == tables["dd_rank"][0]
 
     new = {f.name: getattr(pk, f.name)
            for f in dataclasses.fields(PacketBatch)}
@@ -1451,6 +1476,10 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         est_vp = est["vpkt_I"]
         est_vq = est["vpkt_Q"]
         est_vu = est["vpkt_U"]
+        if "vgrid_I" in est:
+            est_vgi = est["vgrid_I"]
+            est_vgq = est["vgrid_Q"]
+            est_vgu = est["vgrid_U"]
         for o in range(nobs):
             obs_b = jnp.broadcast_to(params.vpkt_obs[o], pos_e.shape)
             vel_e = geo.flow_velocity(pos_e, t_e)
@@ -1506,11 +1535,62 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             est_vq = est_vq.at[o].add(vrow(contrib * q_peel))
             est_vu = est_vu.at[o].add(vrow(contrib * u_peel))
 
+            if "vgrid_I" in est:
+                # velocity-plane image: rotate the emission velocity
+                # into the observer's projected frame
+                # (add_to_vpkt_grid, vpkt.cc:520-560)
+                NV = est["vgrid_I"].shape[2]
+                NR = est["vgrid_I"].shape[1]
+                vmax_v = params.vgrid_vmax
+                nx, ny_, nz_ = obs_b[:, 0], obs_b[:, 1], obs_b[:, 2]
+                denom = jnp.sqrt(jnp.maximum(1.0 - nx * nx, 1e-12))
+                on_x = jnp.abs(jnp.abs(nx) - 1.0) < 1e-6
+                sgn = jnp.sign(nx)
+                vr1 = jnp.where(
+                    on_x, sgn * vel_e[:, 1],
+                    -ny_ * vel_e[:, 0]
+                    + (nx + nz_ * nz_ / (1.0 + nx)) * vel_e[:, 1]
+                    - ny_ * nz_ * (1.0 - nx) / denom * vel_e[:, 2])
+                vr2 = jnp.where(
+                    on_x, sgn * vel_e[:, 2],
+                    -nz_ * vel_e[:, 0]
+                    - ny_ * nz_ * (1.0 - nx) / denom * vel_e[:, 1]
+                    + (nx + ny_ * ny_ / (1.0 + nx)) * vel_e[:, 2])
+                vbin = 2.0 * vmax_v / NV
+                i1g = ((vmax_v - vr1) / vbin).astype(jnp.int32)
+                i2g = ((vmax_v - vr2) / vbin).astype(jnp.int32)
+                in_img = ((jnp.abs(vr1) < vmax_v)
+                          & (jnp.abs(vr2) < vmax_v)
+                          & (t_arr >= params.vgrid_t_range[0])
+                          & (t_arr <= params.vgrid_t_range[1]))
+                flat_g = (jnp.clip(i1g, 0, NV - 1) * NV
+                          + jnp.clip(i2g, 0, NV - 1))
+                for r in range(NR):
+                    in_r = (in_img & vp_any
+                            & (nu_obs >= params.vgrid_nu_ranges[r, 0])
+                            & (nu_obs <= params.vgrid_nu_ranges[r, 1]))
+
+                    def grow(w):
+                        return (jnp.zeros((NV * NV,), jnp.float32)
+                                .at[flat_g].add(
+                                    jnp.where(in_r, w, 0.0))
+                                .reshape(NV, NV))
+
+                    est_vgi = est_vgi.at[o, r].add(grow(contrib))
+                    est_vgq = est_vgq.at[o, r].add(
+                        grow(contrib * q_peel))
+                    est_vgu = est_vgu.at[o, r].add(
+                        grow(contrib * u_peel))
+
     est_out = dict(est)
     if vpkt and "vpkt_I" in est:
         est_out["vpkt_I"] = est_vp
         est_out["vpkt_Q"] = est_vq
         est_out["vpkt_U"] = est_vu
+        if "vgrid_I" in est:
+            est_out["vgrid_I"] = est_vgi
+            est_out["vgrid_Q"] = est_vgq
+            est_out["vgrid_U"] = est_vgu
     if "line_em" in est:
         est_out["line_em"] = est_line_em
         est_out["line_ab"] = est_line_ab
@@ -1546,7 +1626,8 @@ TRANSPORTABLE = (TYPE_RADIOACTIVE_PELLET, TYPE_GAMMA, TYPE_RPKT,
 
 
 def packets_active(p: PacketBatch, t2) -> jax.Array:
-    return (p.ptype != TYPE_ESCAPE) & (p.prop_time < t2)
+    return ((p.ptype != TYPE_ESCAPE) & (p.ptype >= 0)
+            & (p.prop_time < t2))
 
 
 def run_timestep_chunk(pk: PacketBatch, est: dict, tables: dict,

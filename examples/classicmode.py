@@ -39,6 +39,13 @@ def main():
     # classic-variant temperature bounds (artisoptions_classic.h:57-58)
     cfg.mintemp = 3500.0
     cfg.maxtemp = 140_000.0
+    # multibin radfield + raw-estimator rates: the analogue of the
+    # reference's transport-accumulated LUT gamma/bfheating
+    # estimators (rpkt.cc:557-621) — the photoionisation and
+    # bf-heating integrals run over the measured binned J instead of
+    # the fullspec Planck fit
+    cfg.multibin_radfield_on = True
+    cfg.radfield_nbins = 64
     if cfg.data_path is None:
         cfg.data_path = inputdir  # collion/auger/decay data files
 

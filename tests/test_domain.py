@@ -1,0 +1,128 @@
+"""Grid domain decomposition + packet migration (domain.py): the
+BASELINE north-star design. Per-packet counter-based RNG makes
+transport invariant to WHERE a packet is processed, so the
+domain-decomposed run must reproduce the single-device run packet for
+packet."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artis_tpu import SimConfig, Simulation, make_toy_1d_model
+from artis_tpu import domain as dom
+from artis_tpu.packets import TYPE_ESCAPE, to_numpy
+from artis_tpu.transport.kernel import (run_timestep_chunk,
+                                        zero_estimators,
+                                        packets_active)
+
+NDEV = 8
+
+
+def _grey_sim(npkts=512, grey_op=0.12):
+    cfg = SimConfig(npkts=npkts, ntimesteps=3, tmin_days=3.0,
+                    tmax_days=12.0, ftstep=3, opacity_case=0,
+                    grey_op=grey_op, seed=9)
+    model = make_toy_1d_model(nshells=16, mni56_msun=0.4, tmin=cfg.tmin)
+    return Simulation(model, cfg)
+
+
+def _run_single(sim, t2, chunk_iters=64):
+    pk = sim.packets
+    est = zero_estimators(sim.grid.nmodel)
+    tables = sim._tables()
+    step = jax.jit(lambda p, e, ci: run_timestep_chunk(
+        p, e, tables, sim.params, jnp.float32(t2), True, sim.base_key,
+        ci, grid_type="spherical", ncoord=sim.grid.ncoordgrid[0]))
+    while True:
+        pk, est, n_act = step(pk, est, jnp.int32(chunk_iters))
+        if int(n_act) == 0:
+            break
+    return pk, est
+
+
+def test_domain_matches_single_device():
+    sim = _grey_sim()
+    npkts = sim.cfg.npkts
+    t2 = float(sim.units.time_to_sim(sim.ts.end(0)))
+
+    pk1, est1 = _run_single(sim, t2)
+
+    mesh = dom.make_domain_mesh(NDEV)
+    tables = sim._tables()
+    tab_np = {k: np.asarray(v) for k, v in tables.items()}
+    plan = dom.plan_decomposition(
+        tab_np["cell_mgi"], sim.grid.nmodel, sim.grid.rho_init,
+        NDEV, npkts)
+    # every device owns exactly its contiguous slice, covering all
+    assert plan.starts[0] == 0 and plan.starts[-1] == sim.grid.nmodel
+    assert (np.diff(np.asarray(plan.starts)) >= 0).all()
+
+    dtab, specs = dom.shard_domain_tables(tab_np, plan, mesh)
+    pkd = dom.scatter_packets(sim.packets, plan, mesh)
+    estd = dom.make_domain_est(plan, mesh)
+    step = dom.make_domain_step(
+        mesh, plan, specs, grid_type="spherical",
+        ncoord=sim.grid.ncoordgrid[0])
+    pkd, estd, rounds = dom.run_domain_timestep(
+        step, pkd, estd, dtab, sim.params, t2, True, sim.base_key, 64)
+    assert rounds >= 1
+
+    # --- packet-level equivalence (sorted all-to-all migration must
+    # not change any trajectory)
+    g = dom.gather_packets(pkd, plan, npkts)
+    a1, a2 = to_numpy(pk1), to_numpy(g)
+    np.testing.assert_array_equal(a2["pkt_id"], a1["pkt_id"])
+    np.testing.assert_array_equal(a2["ptype"], a1["ptype"])
+    np.testing.assert_array_equal(a2["cell"], a1["cell"])
+    np.testing.assert_array_equal(a2["rng_count"], a1["rng_count"])
+    np.testing.assert_allclose(a2["e_cmf"], a1["e_cmf"], rtol=1e-6)
+    np.testing.assert_allclose(a2["nu_cmf"], a1["nu_cmf"], rtol=1e-6)
+    np.testing.assert_allclose(a2["pos"], a1["pos"], rtol=1e-5,
+                               atol=1e-8)
+
+    # --- estimator equivalence (per-cell sums differ only by f32
+    # ordering)
+    eg = dom.assemble_estimators(
+        jax.tree.map(np.asarray, estd), plan)
+    e1 = jax.tree.map(np.asarray, est1)
+    np.testing.assert_allclose(eg["J"], e1["J"], rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(eg["dep_cell"], e1["dep_cell"],
+                               rtol=2e-5, atol=1e-7)
+    assert int(eg["pellet_decays"]) == int(e1["pellet_decays"])
+    assert int(eg["escounter"]) == int(e1["escounter"])
+    assert int(eg["cellcrossings"]) == int(e1["cellcrossings"])
+    np.testing.assert_allclose(float(eg["gamma_dep"]),
+                               float(e1["gamma_dep"]), rtol=1e-5)
+
+
+def test_domain_capacity_backpressure():
+    """With a tiny visitor region the migration must defer (never
+    drop): the run still converges to the identical final state.
+    (A thin ejecta keeps trajectories short so the congested
+    migration converges in CI time; the capacity pressure is the
+    same.)"""
+    sim = _grey_sim(npkts=256, grey_op=0.03)
+    npkts = sim.cfg.npkts
+    t2 = float(sim.units.time_to_sim(sim.ts.end(0)))
+    pk1, _ = _run_single(sim, t2, chunk_iters=256)
+
+    mesh = dom.make_domain_mesh(NDEV)
+    tab_np = {k: np.asarray(v) for k, v in sim._tables().items()}
+    plan = dom.plan_decomposition(
+        tab_np["cell_mgi"], sim.grid.nmodel, sim.grid.rho_init,
+        NDEV, npkts, headroom=0.25)
+    assert plan.v < plan.m0  # deliberately tight
+    dtab, specs = dom.shard_domain_tables(tab_np, plan, mesh)
+    pkd = dom.scatter_packets(sim.packets, plan, mesh)
+    estd = dom.make_domain_est(plan, mesh)
+    step = dom.make_domain_step(
+        mesh, plan, specs, grid_type="spherical",
+        ncoord=sim.grid.ncoordgrid[0])
+    pkd, estd, rounds = dom.run_domain_timestep(
+        step, pkd, estd, dtab, sim.params, t2, True, sim.base_key, 256)
+    g = dom.gather_packets(pkd, plan, npkts)
+    a1, a2 = to_numpy(pk1), to_numpy(g)
+    np.testing.assert_array_equal(a2["ptype"], a1["ptype"])
+    np.testing.assert_array_equal(a2["cell"], a1["cell"])
+    np.testing.assert_allclose(a2["e_cmf"], a1["e_cmf"], rtol=1e-6)

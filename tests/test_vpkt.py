@@ -130,3 +130,32 @@ def test_vpkt_stokes_qu():
     if sim.dep_log[-1]["escounter"] > 100:
         assert (np.abs(sim.vspec_Q).sum()
                 + np.abs(sim.vspec_U).sum()) > 0
+
+
+def test_vpkt_grid_image():
+    """Velocity-plane image grid (vpkt_grid, vpkt.cc:441-560): with a
+    wavelength window covering the spectrum, peeled contributions bin
+    into a finite [NV, NV] image whose flux-weighted centroid is near
+    the origin for a spherical ejecta."""
+    import os
+    cfg = SimConfig(npkts=3000, ntimesteps=4, tmin_days=5.0,
+                    tmax_days=20.0, ftstep=4, opacity_case=0,
+                    grey_op=0.05, seed=3, vpkt_on=True,
+                    vpkt_vgrid_on=True,
+                    vpkt_vgrid_lambda_aa=((500.0, 50000.0),),
+                    vpkt_vgrid_nv=20,
+                    vpkt_obs=((0.0, 0.0, 1.0),), vpkt_nnubins=32)
+    model = make_toy_1d_model(nshells=8, mni56_msun=0.4, tmin=cfg.tmin)
+    sim = Simulation(model, cfg, out_dir="/tmp/vgrid_out")
+    sim.run(verbose=False, checkpoint=False)
+    img = np.asarray(sim.vgrid_I)
+    assert img.shape == (1, 1, 20, 20)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    assert img.sum() > 0
+    # spherical symmetry: centroid within a few bins of centre
+    iy, iz = np.indices((20, 20))
+    w = img[0, 0]
+    cy = (iy * w).sum() / w.sum()
+    cz = (iz * w).sum() / w.sum()
+    assert abs(cy - 9.5) < 2.5 and abs(cz - 9.5) < 2.5, (cy, cz)
+    assert os.path.exists("/tmp/vgrid_out/vpkt_grid.out")
