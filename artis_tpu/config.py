@@ -73,6 +73,11 @@ class SimConfig:
     # frac_excitation = 0 (nonthermal.cc:1898), so this defaults off;
     # when off, the excitation fraction thermalises (matches upstream).
     nt_excitation_on: bool = False
+    # Auger multi-electron physics in the Spencer-Fano solve and the
+    # NT upper-ion selection (SF_AUGER_CONTRIBUTION_ON +
+    # NT_MAX_AUGER_ELECTRONS); the reference's nebular CI test runs
+    # with it off
+    sf_auger_on: bool = True
     # NLTE level populations (statistical-equilibrium rate matrix per
     # element, nltepop.cc analogue). Applies after num_lte_timesteps;
     # requires opacity_case 4.

@@ -421,7 +421,9 @@ class Simulation:
                     if dp and os.path.exists(
                             os.path.join(dp, "collion.txt")):
                         colliondata = read_collion(dp)
-                        n_aug = read_auger_data(dp, colliondata)
+                        n_aug = 0
+                        if self.cfg.sf_auger_on:
+                            n_aug = read_auger_data(dp, colliondata)
                         print(f"collion.txt: {len(colliondata)} shells"
                               f", Auger data for {n_aug}")
                     self._sf_solver = SpencerFanoSolver(

@@ -466,8 +466,12 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     m_flow = is_pellet & (tdecay > t2)
     upd(m_flow, pos=pk.pos * (t2 / ts)[:, None], prop_time=t2)
 
-    # (b) decays within (ts, t2]
-    m_decay = is_pellet & (tdecay <= t2) & (tdecay > ts)
+    # (b) decays within (ts, t2]; pellets whose tdecay is already in
+    # the past (possible only on a mid-run cold start, e.g. itstep > 0
+    # without a checkpoint) decay immediately at the current time so
+    # they can never wedge the event loop
+    tdecay = jnp.maximum(tdecay, ts)
+    m_decay = is_pellet & (tdecay <= t2) & ~m_flow
     pos_dec = pk.pos * (tdecay / ts)[:, None]
     cnt["pellet_decays"] += mcount(m_decay)
 

@@ -28,9 +28,13 @@ def main():
                            read_1d_model, read_abundances)
     from artis_tpu.atomic import make_synthetic_atomic_data, read_atomic_data
 
-    path = os.path.join(inputdir, "input.txt")
+    # prefer the pristine input-newrun.txt: after a reference run the
+    # in-place input.txt has itstep rewritten for its OWN restart
+    # (update_parameterfile, input.cc:2143), which would cold-start us
+    # mid-run
+    path = os.path.join(inputdir, "input-newrun.txt")
     if not os.path.exists(path):
-        path = os.path.join(inputdir, "input-newrun.txt")
+        path = os.path.join(inputdir, "input.txt")
     cfg = read_input_txt(path)
     # keep runs tractable out of the box; raise for production
     cfg.npkts = int(os.environ.get("NPKTS", 50_000))
