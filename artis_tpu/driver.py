@@ -242,10 +242,17 @@ class Simulation:
         # first pass to learn etot for the energy unit
         q = self.dm.simtime_endecay_per_mass(
             cfg.tmin, cfg.tmax, from_tmodel=cfg.initial_packets)
+        q_cell = q.sum(axis=1)
+        if (cfg.use_model_initial_energy
+                and self.grid.init_energyq is not None):
+            # model initial thermal energy joins the packet energy
+            # budget (packet_init, packet.cc:93-98)
+            q_cell = q_cell + np.asarray(self.grid.init_energyq,
+                                         np.float64)
         mgi = self.grid.cell_mgi
         etot = float(np.sum(self.grid.vol_init[mgi]
                             * self.grid.rho_init[mgi]
-                            * q.sum(axis=1)[mgi]))
+                            * q_cell[mgi]))
         self.units = make_units(cfg, etot)
         batch, etot2 = init_pellets(cfg, self.grid, self.dm, self.units)
         assert abs(etot2 / etot - 1) < 1e-9
@@ -373,6 +380,8 @@ class Simulation:
                              - np.log(cfg.nu_min_r))
                             / max(cfg.vpkt_nnubins, 1)),
             vpkt_tau_max=f32(cfg.vpkt_tau_max),
+            instant_deposit=jnp.bool_(cfg.instant_particle_deposition),
+            tmin_seconds=f32(self.units.tmin),
         )
 
     def _tables(self, tmid: Optional[float] = None) -> dict:
@@ -565,7 +574,13 @@ class Simulation:
 
             # Spencer-Fano non-thermal deposition channels (solution
             # computed above, before the population solve)
-            if self.cfg.nonthermal_on:
+            # the reference only solves Spencer-Fano in the NLTE
+            # branch (update_grid.cc:775-887, nts >=
+            # num_lte_timesteps); before that do_ntlepton has no
+            # solution and frac_ionization = 0 — pure heating
+            in_nlte_phase = (self.nts_done
+                             >= self.cfg.num_lte_timesteps)
+            if self.cfg.nonthermal_on and in_nlte_phase:
                 # energy-weighted per-ion ionisation selection row
                 ionpots_ev = self.atomic_data.ion_ionpot / 1.6021772e-12
                 w_ion = (sol.ion_rate_per_dep * pops.ion_numberdens
@@ -1036,6 +1051,8 @@ class Simulation:
             "electron_dep_Lsun": float(est["electron_dep"]) * e0 / w / LSUN,
             "alpha_dep_Lsun": float(est["alpha_dep"]) * e0 / w / LSUN,
             "gamma_emission": float(est["gamma_emission"]) * e0,
+            "electron_emission": float(est["electron_emission"]) * e0,
+            "alpha_emission": float(est["alpha_emission"]) * e0,
             "cmf_lum": float(est["cmf_lum"]) * e0,
             "pellet_decays": int(est["pellet_decays"]),
             "escounter": int(est["escounter"]),

@@ -63,6 +63,10 @@ class Grid:
     elem_abund: np.ndarray  # [nmodel, MAX_Z_ABUND] current mass fractions
     vol_init: np.ndarray  # [nmodel] model cell volume at tmin [cm^3]
     elem_abund_init: Optional[np.ndarray] = None  # snapshot at t_model
+    # [nmodel] initial thermal energy per mass at tmin [erg/g]
+    # (modelgrid q column, grid.cc:1208 — reader already rescaled by
+    # t_model/tmin); used with cfg.use_model_initial_energy
+    init_energyq: Optional[np.ndarray] = None
     opcase3_normal: float = 0.0
     rho_crit: float = 0.0
     mtot_input: float = 0.0
@@ -138,6 +142,9 @@ def build_grid(model: Model, cfg: SimConfig) -> Grid:
         elem_abund=np.asarray(elem, dtype=np.float64),
         vol_init=vol,
         elem_abund_init=np.asarray(elem, dtype=np.float64).copy(),
+        init_energyq=(np.asarray(model.init_energyq, np.float64)
+                      if getattr(model, "init_energyq", None) is not None
+                      else None),
     )
     g.mtot_input = float(np.sum(rho_init * vol))
     g.mfeg = float(np.sum(rho_init * vol * g.ffegrp))
@@ -214,8 +221,10 @@ def assign_initial_temperatures(g: Grid, dm: decay_mod.DecayModel,
     """Initial LTE temperatures from trapped decay energy
     (assign_initial_temperatures, grid.cc:1879-1929)."""
     endecay = dm.endecay_t0_to_time_withexpansion(tmid0)
-    if cfg.use_model_initial_energy and dm is not None:
-        pass  # initenergyq support comes with the model-energy feature
+    if cfg.use_model_initial_energy and g.init_energyq is not None:
+        # model initial thermal energy adds to the trapped decay
+        # energy budget (grid.cc:1901-1903)
+        endecay = endecay + g.init_energyq
     T = (CLIGHT / 4.0 / STEBO * (g.tmin / tmid0) ** 3
          * g.rho_init * endecay) ** 0.25
     T = np.clip(np.where(np.isfinite(T), T, cfg.mintemp),

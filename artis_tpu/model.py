@@ -118,8 +118,9 @@ def read_1d_model(path: str, tmin: float,
             break
     zlist: list[int] = []
     alist: list[int] = []
+    colnames: list[str] = []
     if header:
-        zlist, alist, _ = _parse_headerline(header)
+        zlist, alist, colnames = _parse_headerline(header)
 
     nt = NuclideTable.create(zlist, alist, data_path=data_path)
 
@@ -127,6 +128,8 @@ def read_1d_model(path: str, tmin: float,
     rho_tmin = np.zeros(npts)
     ffegrp = np.zeros(npts)
     abund = np.zeros((npts, len(nt)))
+    init_ye = np.full(npts, -1.0)
+    init_q = np.zeros(npts)
     rows = lines[2:2 + npts]
     assert len(rows) == npts, f"model.txt: expected {npts} rows"
 
@@ -157,13 +160,22 @@ def read_1d_model(path: str, tmin: float,
                 custom_vals = rest[2:]
             else:
                 custom_vals = rest
-            for (z, a), v in zip(zip(zlist, alist), custom_vals):
+            for name, (z, a), v in zip(colnames, zip(zlist, alist),
+                                       custom_vals):
                 if z > 0:
                     setab(mgi, z, a, float(v))
+                elif name == "cellYe":
+                    init_ye[mgi] = float(v)
+                elif name == "q":
+                    # initial thermal energy per mass, rescaled from
+                    # t_model to tmin (grid.cc:1206-1208)
+                    init_q[mgi] = float(v) * t_model / tmin
 
     return Model(ndim=1, t_model=t_model, vmax=float(vout[-1]),
                  rho=rho_tmin, ffegrp=ffegrp, initradioabund=abund,
-                 nuclide_table=nt, vout=vout)
+                 nuclide_table=nt, vout=vout,
+                 init_ye=init_ye if np.any(init_ye >= 0) else None,
+                 init_energyq=init_q if np.any(init_q != 0) else None)
 
 
 def _find_headerline(path: str, after_noncomment: int) -> Optional[str]:

@@ -117,6 +117,16 @@ def init_pellets(cfg: SimConfig, g: Grid, dm: decay_mod.DecayModel,
         cfg.tmin, cfg.tmax, from_tmodel=cfg.initial_packets)
     q_cell = q_paths.sum(axis=1)  # [nmodel]
 
+    # USE_MODEL_INITIAL_ENERGY: the model's q column contributes
+    # initial thermal energy released at tmin (setup_radioactive_pellet
+    # zrand >= cumulative branch, decay.cc; grid.cc:1206-1208 scaling
+    # already applied by the model reader)
+    q_init = None
+    if (cfg.use_model_initial_energy
+            and getattr(g, "init_energyq", None) is not None):
+        q_init = np.asarray(g.init_energyq, np.float64)
+        q_cell = q_cell + q_init
+
     # energy per propagation cell (packet_init, packet.cc:86-104)
     mgi = g.cell_mgi
     cell_energy = g.vol_init[mgi] * g.rho_init[mgi] * q_cell[mgi]
@@ -159,6 +169,16 @@ def init_pellets(cfg: SimConfig, g: Grid, dm: decay_mod.DecayModel,
     tdecaymin = dm.t_model if cfg.initial_packets else cfg.tmin
     tdecay = dm.sample_decay_times(path_index, cfg.tmax, rng,
                                    tdecaymin=tdecaymin)
+
+    # initial-energy pellets: probability q_init/(q_decay+q_init) per
+    # cell; they "decay" at tmin into the thermal pool
+    is_initial = np.zeros(npkts, bool)
+    if q_init is not None:
+        q_dec_tot = q_paths.sum(axis=1)[mgis]
+        p_init = q_init[mgis] / np.maximum(q_dec_tot + q_init[mgis],
+                                           1e-300)
+        is_initial = rng.random(npkts) < p_init
+        tdecay = np.where(is_initial, cfg.tmin, tdecay)
 
     # terminal nuclide & decay type per pellet
     final_nucindex = np.array(
@@ -219,12 +239,13 @@ def init_pellets(cfg: SimConfig, g: Grid, dm: decay_mod.DecayModel,
         e_rf=f32(e_rf / units.e0),
         prop_time=f32(np.full(npkts, 1.0)),  # tmin in sim units
         tdecay=f32(tdecay / units.tmin),
-        ptype=i32(np.full(npkts, TYPE_RADIOACTIVE_PELLET)),
+        ptype=i32(np.where(is_initial, TYPE_PRE_KPKT,
+                           TYPE_RADIOACTIVE_PELLET)),
         cell=i32(cells),
         last_cross=i32(np.zeros(npkts)),
         pellet_nucindex=i32(nucindex),
         pellet_decaytype=i32(dectype),
-        from_particle=jnp.asarray(from_particle),
+        from_particle=jnp.asarray(from_particle & ~is_initial),
         escape_type=i32(np.zeros(npkts)),
         escape_time=f32(np.full(npkts, -1.0)),
         em_time=f32(np.full(npkts, 1.0)),

@@ -116,6 +116,14 @@ class TransportParams:
         default_factory=lambda: jnp.array([0.0, 1e30], jnp.float32))
     vgrid_vmax: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.float32(0.1))
+    # INSTANT_PARTICLE_DEPOSITION=false support: non-thermal particles
+    # lose energy at endot = {5e11 (alpha), 4e10 (beta)} MeV/s * rho
+    # and deposit at a sampled point along the track
+    # (do_nonthermal_predeposit, update_packets.cc:16-69)
+    instant_deposit: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.bool_(True))
+    tmin_seconds: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1.0))
 
 
 def make_planck_table(npts: int = 1024) -> tuple[np.ndarray, np.ndarray]:
@@ -518,10 +526,34 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     # update_packets.cc:16-69) — instant deposition mode
     # =====================================================================
     m_nt = active & (pk.ptype == TYPE_NONTHERMAL_PREDEPOSIT)
-    scal["alpha_dep"] += msum(m_nt & is_alpha, pk.e_cmf)
-    scal["electron_dep"] += msum(m_nt & is_bminus, pk.e_cmf)
-    scal["positron_dep"] += msum(m_nt & is_bplus, pk.e_cmf)
-    upd(m_nt, ptype=TYPE_NTLEPTON)
+    # non-instant mode (INSTANT_PARTICLE_DEPOSITION=false,
+    # do_nonthermal_predeposit, update_packets.cc:16-69): the particle
+    # (physical kinetic energy h*nu_cmf) loses energy at
+    # endot = {5e11 alpha, 4e10 beta} MeV/s * rho; a discrete
+    # absorption happens at a uniformly-sampled remaining energy
+    ts_nt = pk.prop_time
+    rho_nt = tables["rho"][mgi]
+    endot = jnp.where(is_alpha, 5.0e11, 4.0e10) * jnp.float32(MEV) \
+        * jnp.maximum(rho_nt, 1e-30)
+    particle_en = jnp.float32(H) * pk.nu_cmf
+    dt_abs = (u[:, 1] * particle_en / endot) / params.tmin_seconds
+    t_abs = ts_nt + dt_abs
+    m_dep = m_nt & (params.instant_deposit | (t_abs <= t2))
+    t_dep = jnp.where(params.instant_deposit, ts_nt, t_abs)
+    scal["alpha_dep"] += msum(m_dep & is_alpha, pk.e_cmf)
+    scal["electron_dep"] += msum(m_dep & is_bminus, pk.e_cmf)
+    scal["positron_dep"] += msum(m_dep & is_bplus, pk.e_cmf)
+    upd(m_dep, ptype=TYPE_NTLEPTON,
+        pos=pk.pos * (t_dep / jnp.maximum(ts_nt, 1e-30))[:, None],
+        prop_time=t_dep)
+    # not absorbed this timestep: ride the flow, reduced KE
+    m_ride = m_nt & ~m_dep
+    upd(m_ride,
+        nu_cmf=jnp.maximum(
+            (particle_en - endot * (t2 - ts_nt)
+             * params.tmin_seconds) / jnp.float32(H), 1e5),
+        pos=pk.pos * (t2 / jnp.maximum(ts_nt, 1e-30))[:, None],
+        prop_time=t2)
 
     # NT leptons (do_ntlepton, nonthermal.cc:1877-1980): with the
     # Spencer-Fano solution, deposited energy splits into ionisation
@@ -532,7 +564,12 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     # nonthermal off) everything heats.
     m_lep = active & (pk.ptype == TYPE_NTLEPTON)
     if detailed:
-        nt_fi = tables["nt_frac_ion"][mgi]
+        # "macroatom should not be activated in thick cells"
+        # (do_ntlepton, nonthermal.cc:1883): in grey-approximation
+        # cells all NT energy heats — ionisation/excitation channels
+        # are gated off
+        lep_thick = tables["thick"][mgi] == 1
+        nt_fi = jnp.where(lep_thick, 0.0, tables["nt_frac_ion"][mgi])
         nions_nt = tables["nt_ion_cum"].shape[1]
         lep_ion = m_lep & (u[:, 8] < nt_fi)
         # select the ion by binary search of the cumulative
@@ -585,7 +622,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             # frac_excitation (given not ionisation), pick the line by
             # binary search of the cumulative per-line deposition
             # fractions and activate its upper level
-            nt_fe = tables["nt_frac_exc"][mgi]
+            nt_fe = jnp.where(lep_thick, 0.0,
+                              tables["nt_frac_exc"][mgi])
             nexc = tables["nt_exc_cum"].shape[1]
             lep_exc = (m_lep & ~lep_ion
                        & (u[:, 8] < nt_fi + nt_fe))

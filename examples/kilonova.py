@@ -1,12 +1,14 @@
-"""Run the nebularonezone configuration from reference-format inputs.
+"""Run the kilonova configuration from reference-format inputs.
 
-The reference's nebular test (tests/setup_nebularonezone.sh +
-artisoptions_nltenebular.h): one-zone ejecta at 170-230 days with full
-NLTE populations, Spencer-Fano non-thermal deposition, multibin
-radiation field and detailed bf estimators.
+The reference's kilonova test (tests/setup_kilonova.sh +
+artisoptions_kilonova_lte.h): 1D SFHo neutron-star-merger ejecta at
+0.4-10 days, LTE populations with full Sobolev line transport
+(opacity_case 4), relativistic Doppler, model initial-energy packets
+(USE_MODEL_INITIAL_ENERGY) and non-instant alpha/beta particle
+deposition (INSTANT_PARTICLE_DEPOSITION = false).
 
 Usage:
-    python examples/nebularonezone.py <inputdir> [outdir]
+    python examples/kilonova.py <inputdir> [outdir]
 """
 
 import os
@@ -18,45 +20,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def main():
     inputdir = sys.argv[1]
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "out_nebular"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "out_kilonova"
 
     from artis_tpu import (SimConfig, Simulation, read_input_txt,
                            read_1d_model, read_abundances)
     from artis_tpu.atomic import read_atomic_data
     from artis_tpu.phixs import read_phixs_data
 
-    # prefer the pristine input-newrun.txt: after a reference run the
-    # in-place input.txt has itstep rewritten for its OWN restart
-    # (update_parameterfile, input.cc:2143), which would cold-start us
-    # mid-run
     path = os.path.join(inputdir, "input-newrun.txt")
     if not os.path.exists(path):
         path = os.path.join(inputdir, "input.txt")
     cfg = read_input_txt(path)
-    cfg.npkts = int(os.environ.get("NPKTS", 15_000))
+    # the reference CI runs MPKTS 40000 per rank (setup_kilonova.sh)
+    cfg.npkts = int(os.environ.get("NPKTS", 40_000))
     if "FTSTEP" in os.environ:
         cfg.ftstep = int(os.environ["FTSTEP"])
-    # nltenebular variant options at CI test scale
-    # (tests/setup_nebularonezone.sh:17-29)
-    cfg.mintemp = 2000.0
-    cfg.maxtemp = 10_000.0
-    cfg.nonthermal_on = True
-    cfg.nlte_pops_on = True
-    cfg.multibin_radfield_on = True
-    cfg.radfield_nbins = 64
-    cfg.detailed_bf_estimators = True
-    cfg.sf_points = int(os.environ.get("SFPTS", 512))
-    # the reference CI nebular test disables the Auger contribution
-    # (setup_nebularonezone.sh: SF_AUGER_CONTRIBUTION_ON false)
-    cfg.sf_auger_on = False
-    # nltenebular defines NO_INITIAL_PACKETS: decays are sampled only
-    # within [tmin, tmax] — no pre-tmin Lucy packets
-    # (artisoptions_nltenebular.h:52; setup_radioactive_pellet,
-    # decay.cc tdecaymin branch)
-    cfg.initial_packets = False
-    # nltenebular UVOIR frequency range (artisoptions_nltenebular.h:85)
+    # kilonova_lte variant options at CI test scale
+    # (tests/setup_kilonova.sh:21-27, artisoptions_kilonova_lte.h)
+    cfg.mintemp = 1000.0
+    cfg.maxtemp = 20_000.0
+    cfg.use_relativistic_doppler = True
+    # alpha/beta particles lose kinetic energy along their track
+    # instead of depositing instantly (INSTANT_PARTICLE_DEPOSITION =
+    # false; do_nonthermal_predeposit, update_packets.cc:16-69)
+    cfg.instant_particle_deposition = False
+    # the model's q column contributes initial thermal packets at tmin
+    # (USE_MODEL_INITIAL_ENERGY; decay.cc:1383-1402)
+    cfg.use_model_initial_energy = True
+    # kilonova UVOIR frequency range (artisoptions_kilonova_lte.h)
     cfg.nu_min_r = 1e13
-    cfg.nu_max_r = 5e15
+    cfg.nu_max_r = 5e16
     if cfg.data_path is None:
         cfg.data_path = inputdir
 
@@ -75,7 +68,7 @@ def main():
                      phixs_data=phixs)
     print(f"etot = {sim.etot:.4e} erg over "
           f"[{cfg.tmin_days}, {cfg.tmax_days}] d; "
-          f"{model.ncells} cell(s); NLTE+SF nebular mode")
+          f"{model.ncells} shell(s); kilonova LTE mode")
 
     cps = sorted(
         (f for f in (os.listdir(outdir) if os.path.isdir(outdir) else ())

@@ -73,7 +73,10 @@ def test_energy_accounting(sim_done):
     e0 = sim_done.units.e0
     etot = sim_done.etot
     gamma_em = sum(d["gamma_emission"] for d in sim_done.dep_log)
-    assert 0 < gamma_em < etot
+    # all pellets decay within the window in this config and packet
+    # energies are renormalised to etot at init (packet.cc:136-148),
+    # so emission may equal etot exactly
+    assert 0 < gamma_em <= etot * (1 + 1e-6)
     gamma_dep = sum(d["gamma_dep_Lsun"] * 3.826e33
                     * (sim_done.ts.width[d["ts"]])
                     for d in sim_done.dep_log)
