@@ -129,6 +129,13 @@ class SimConfig:
     sf_points: int = 384  # Spencer-Fano energy grid size (SFPTS)
     sf_emin_ev: float = 1.0
     sf_emax_ev: float = 3000.0
+    # solution-reuse policy (nonthermal.cc:2559-2581): keep a cell's
+    # SF solution while nne/niontot drifted < fracdiff and the last
+    # solve is at most N timesteps old
+    # (SF_MAX_TIMESTEPS_BETWEEN_SOLUTIONS,
+    # NT_MAX_FRACDIFF_NNEPERION_BETWEEN_SOLUTIONS)
+    sf_max_ts_between_solutions: int = 0
+    sf_max_fracdiff_nneperion: float = 0.05
 
     # pellets
     uniform_pellet_energies: bool = True

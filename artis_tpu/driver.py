@@ -67,6 +67,13 @@ class Simulation:
                  phixs_data: Optional[PhixsData] = None,
                  n_devices: Optional[int] = None, mesh=None):
         self.cfg = cfg
+        if model.ndim == 2:
+            # axisymmetric models propagate on a 3D Cartesian cube
+            # (the reference uses a cylindrical grid,
+            # grid.cc GRID_CYLINDRICAL2D); convert up front so the
+            # decay model / abundances / grid all share one cell set
+            from .model import model_2d_to_3d
+            model = model_2d_to_3d(model)
         self.model = model
         self.atomic_data = atomic_data
         # multi-device SPMD: packets sharded over the mesh "dp" axis,
@@ -442,7 +449,11 @@ class Simulation:
                         colliondata=colliondata)
                 sol = self._sf_solver.solve(
                     g.nne, levelpops.astype(np.float64),
-                    pops.ion_numberdens)
+                    pops.ion_numberdens, timestep=self.nts_done,
+                    max_ts_between_solutions=(
+                        self.cfg.sf_max_ts_between_solutions),
+                    max_fracdiff_nneperion=(
+                        self.cfg.sf_max_fracdiff_nneperion))
                 self.sf_solution = sol
                 if (self.est_prev is not None
                         and "dep_cell" in self.est_prev

@@ -118,8 +118,16 @@ def build_grid(model: Model, cfg: SimConfig) -> Grid:
         ], axis=1)
         wid = np.full(ngrid, widval)
         vol = np.full(ngrid, widval ** 3)
+    elif model.ndim == 2:
+        # axisymmetric (r_cyl, z) models propagate on a 3D Cartesian
+        # cube here (the reference uses a native cylindrical grid,
+        # grid.cc GRID_CYLINDRICAL2D; nearest-cell sampling preserves
+        # the model's mass/abundance structure)
+        from .model import model_2d_to_3d
+        return build_grid(model_2d_to_3d(model), cfg)
     else:
-        raise NotImplementedError("2D models not yet supported")
+        raise NotImplementedError(
+            f"unsupported model dimensionality {model.ndim}")
 
     nmodel = model.ncells
     rho_init = np.asarray(model.rho, dtype=np.float64)

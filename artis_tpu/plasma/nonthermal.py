@@ -247,6 +247,13 @@ class SpencerFanoSolver:
         # precompute per-line excitation cross sections on the grid
         self._prep_excitation()
 
+        # solution-reuse state (nonthermal.cc:2559-2581): keep a
+        # cell's previous solution while nne-per-ion drifted less
+        # than max_fracdiff and the last solve is recent enough
+        self._last: Optional[SFSolution] = None
+        self._last_nneperion: Optional[np.ndarray] = None
+        self._ts_last_solved: Optional[np.ndarray] = None
+
     def _prep_excitation(self):
         ad = self.ad
         lo, up = ad.line_lower, ad.line_upper
@@ -360,10 +367,33 @@ class SpencerFanoSolver:
     # -- solve + analysis --------------------------------------------
     def solve(self, nne: np.ndarray, levelpops: np.ndarray,
               ion_numberdens: np.ndarray,
-              store_y: bool = False) -> SFSolution:
+              store_y: bool = False, timestep: Optional[int] = None,
+              max_ts_between_solutions: int = 0,
+              max_fracdiff_nneperion: float = 0.05) -> SFSolution:
         """Solve for every cell and analyse the energy deposition
-        fractions (analyse_sf_solution, nonthermal.cc:1996-2460)."""
+        fractions (analyse_sf_solution, nonthermal.cc:1996-2460).
+
+        With ``timestep`` given, a cell keeps its previous solution
+        when |nne_per_ion / last - 1| < ``max_fracdiff_nneperion`` and
+        the last solve is at most ``max_ts_between_solutions``
+        timesteps old (solve_spencerfano reuse policy,
+        nonthermal.cc:2559-2581; SF_MAX_TIMESTEPS_BETWEEN_SOLUTIONS /
+        NT_MAX_FRACDIFF_NNEPERION_BETWEEN_SOLUTIONS)."""
         ncells = len(nne)
+        nneperion = np.asarray(nne, np.float64) / np.maximum(
+            np.asarray(ion_numberdens, np.float64).sum(axis=1), 1e-300)
+        reuse = np.zeros(ncells, bool)
+        if (timestep is not None and self._last is not None
+                and self._last_nneperion is not None
+                and len(self._last_nneperion) == ncells
+                and not store_y):
+            fracdiff = np.abs(
+                self._last_nneperion / np.maximum(nneperion, 1e-300)
+                - 1.0)
+            reuse = ((fracdiff < max_fracdiff_nneperion)
+                     & (timestep - self._ts_last_solved
+                        <= max_ts_between_solutions)
+                     & (self._ts_last_solved >= 0))
         ad = self.ad
         en, de = self.en, self.de
         namax = NT_MAX_AUGER_ELECTRONS
@@ -381,6 +411,16 @@ class SpencerFanoSolver:
         for c in range(ncells):
             if nne[c] <= 0:
                 frac_heat[c] = 1.0
+                continue
+            if reuse[c]:
+                last = self._last
+                frac_heat[c] = last.frac_heating[c]
+                frac_ion[c] = last.frac_ionization[c]
+                frac_exc[c] = last.frac_excitation[c]
+                exc_frac[c] = last.exc_frac[c]
+                ion_rate[c] = last.ion_rate_per_dep[c]
+                prob_auger[c] = last.prob_num_auger[c]
+                enfrac_auger[c] = last.ionenfrac_num_auger[c]
                 continue
             M = self._build_matrix(float(nne[c]), levelpops[c],
                                    ion_numberdens[c])
@@ -449,11 +489,21 @@ class SpencerFanoSolver:
                 enfrac_auger[c, i] = q
             frac_heat[c] = max(0.0, 1.0 - frac_ion[c] - frac_exc[c])
 
-        return SFSolution(frac_heating=frac_heat,
-                          frac_ionization=frac_ion,
-                          frac_excitation=frac_exc,
-                          ion_rate_per_dep=ion_rate,
-                          E_init_ev=self.E_init_ev,
-                          exc_frac=exc_frac, y=ys,
-                          prob_num_auger=prob_auger,
-                          ionenfrac_num_auger=enfrac_auger)
+        sol = SFSolution(frac_heating=frac_heat,
+                         frac_ionization=frac_ion,
+                         frac_excitation=frac_exc,
+                         ion_rate_per_dep=ion_rate,
+                         E_init_ev=self.E_init_ev,
+                         exc_frac=exc_frac, y=ys,
+                         prob_num_auger=prob_auger,
+                         ionenfrac_num_auger=enfrac_auger)
+        if timestep is not None:
+            if (self._ts_last_solved is None
+                    or len(self._ts_last_solved) != ncells):
+                self._ts_last_solved = np.full(ncells, -1)
+                self._last_nneperion = np.zeros(ncells)
+            solved = ~reuse
+            self._ts_last_solved[solved] = timestep
+            self._last_nneperion[solved] = nneperion[solved]
+            self._last = sol
+        return sol

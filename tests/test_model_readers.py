@@ -96,3 +96,33 @@ def test_read_2d_and_resample(tmp_path):
     cell3 = (2 * vmax * 2.0 * DAY / 10) ** 3
     mass3d = np.sum(m3.rho * cell3)
     assert abs(mass3d / mass2d - 1) < 0.2
+
+
+def test_2d_model_runs_e2e(tmp_path):
+    """A 2D model fed straight to Simulation propagates on the mapped
+    3D cube (build_grid auto-resamples; grid.cc GRID_CYLINDRICAL2D
+    analogue)."""
+    from artis_tpu import SimConfig, Simulation
+
+    nr, nz, t_days, vmax = 3, 6, 0.9, 2.0e9
+    p = str(tmp_path / "model.txt")
+    t_model = t_days * DAY
+    dr = vmax * t_model / nr
+    dz = 2 * vmax * t_model / nz
+    with open(p, "w") as f:
+        f.write(f"{nr} {nz}\n{t_days}\n{vmax:e}\n")
+        for iz in range(nz):
+            for ir in range(nr):
+                i = iz * nr + ir
+                r = (ir + 0.5) * dr
+                z = -vmax * t_model + (iz + 0.5) * dz
+                f.write(f"{i + 1} {r:e} {z:e} 1e-12\n")
+                f.write("0.9 0.4 0 0 0\n")
+    m2 = read_2d_model(p, tmin=1.0 * DAY)
+    cfg = SimConfig(npkts=500, ntimesteps=3, tmin_days=1.0,
+                    tmax_days=6.0, ftstep=3, opacity_case=0,
+                    grey_op=0.08, seed=5, compact_min_size=64)
+    sim = Simulation(m2, cfg)
+    assert sim.grid.ndim == 3
+    sim.run(checkpoint=False, verbose=False)
+    assert sum(d["pellet_decays"] for d in sim.dep_log) > 0

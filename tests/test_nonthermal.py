@@ -150,3 +150,38 @@ def test_auger_data_shifts_sf_fractions(ad):
     np.testing.assert_allclose(pa.sum(axis=1), 1.0, atol=1e-6)
     assert pp[:, 1:].max() == 0.0
     assert pa[:, 1:].max() > 0.01
+
+
+def test_solution_reuse_policy(ad):
+    """The reuse policy (nonthermal.cc:2559-2581): within the
+    nne-per-ion tolerance and the timestep window, the previous
+    per-cell solution is returned without re-solving."""
+    s = SpencerFanoSolver(ad, sfpts=256, emax_ev=2000.0)
+    pops, nl = _state(ad)
+    nne = np.array([5e6])
+    sol0 = s.solve(nne, nl, pops.ion_numberdens, timestep=5,
+                   max_ts_between_solutions=2)
+    # tiny drift, next timestep: reused (bit-identical rows)
+    calls = {"n": 0}
+    orig = s._build_matrix
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    s._build_matrix = counting
+    sol1 = s.solve(nne * 1.001, nl, pops.ion_numberdens, timestep=6,
+                   max_ts_between_solutions=2)
+    assert calls["n"] == 0
+    np.testing.assert_array_equal(sol1.frac_heating, sol0.frac_heating)
+    np.testing.assert_array_equal(sol1.ion_rate_per_dep,
+                                  sol0.ion_rate_per_dep)
+    # a large nne change forces a re-solve
+    sol2 = s.solve(nne * 3.0, nl, pops.ion_numberdens, timestep=7,
+                   max_ts_between_solutions=2)
+    assert calls["n"] == 1
+    assert not np.array_equal(sol2.frac_heating, sol0.frac_heating)
+    # an expired window forces a re-solve even with no drift
+    s.solve(nne * 3.0, nl, pops.ion_numberdens, timestep=20,
+            max_ts_between_solutions=2)
+    assert calls["n"] == 2
