@@ -86,7 +86,15 @@ def main():
         sim.load_checkpoint(p)
         print(f"resumed from {p} (next timestep {sim.nts_done})")
 
-    sim.run()
+    # walltime-limited job-step mode (the reference's `sn3d -w hours`
+    # + RESTART_NEEDED resubmit protocol, sn3d.cc:420-451, 1102-1106);
+    # scripts/artis-tpu-slurm.sh resubmits on this marker
+    wt_h = os.environ.get("WALLTIME_HOURS")
+    done = sim.run(walltime_limit_s=(float(wt_h) * 3600.0
+                                     if wt_h else None))
+    if not done:
+        print("RESTART_NEEDED to continue model")
+        sys.exit(93)
     print(f"outputs written to {outdir}/")
 
 
