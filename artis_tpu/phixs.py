@@ -6,10 +6,10 @@ as a packed container: one entry per ionising level, cross sections
 tabulated on the shared frequency grid x = nu/nu_edge in
 [1, 1 + inc*(NP-1)].
 
-Simplification vs the reference: each continuum has a single
-photoionisation target level in the upper ion (the highest-probability
-target from multi-target tables; probability-weighted target splitting
-comes with the NLTE milestone).
+Probability-split targets (upperlevel < 0 tables) expand into one
+continuum entry per target with prob-scaled cross sections — the flat
+analogue of the reference's per-phixstargetindex rate tables
+(ratecoeff.cc:607-611).
 
 A reference-format ``phixsdata_v2.txt`` parser and a hydrogenic
 synthetic generator (for tests, since the real dataset is an external
@@ -112,7 +112,8 @@ def make_hydrogenic_phixs(ad: AtomicData, nphixspoints: int = 100,
 def read_phixs_data(path: str, ad: AtomicData) -> PhixsData:
     """Parse a reference-format phixsdata_v2.txt (input.cc:235-333).
 
-    Multi-target tables keep only the highest-probability target."""
+    Probability-split target tables expand into one continuum
+    entry per target with prob-scaled cross sections."""
     import os
 
     with open(os.path.join(path, "phixsdata_v2.txt")) as f:
@@ -156,15 +157,27 @@ def read_phixs_data(path: str, ad: AtomicData) -> PhixsData:
         lolevel = lolevel_in - 1  # groundstate_index_in = 1
         if lolevel >= ad.ion_nlevels[loion]:
             continue
-        best = max(targets, key=lambda t: t[1])
-        uplevel = best[0] - 1
-        if uplevel >= ad.ion_nlevels[upion]:
-            uplevel = 0
-        levels.append(ad.ion_level_start[loion] + lolevel)
-        upions.append(upion)
-        uplevels.append(ad.ion_level_start[upion] + uplevel)
-        edges.append(thresh_ev * EV / H)
-        sigmas.append(sigma)
+        # probability-split targets become separate continuum entries
+        # with prob-scaled cross sections — exactly how the reference
+        # unrolls phixstargetindex in its rate tables
+        # (read_phixs_data_table, input.cc:136-232; rate scaling
+        # `*= phixstargetprobability`, ratecoeff.cc:607-611)
+        up_ground_e = ad.level_energy[ad.ion_level_start[upion]]
+        for lvl_in, prob in targets:
+            if prob <= 0:
+                continue
+            uplevel = lvl_in - 1
+            if uplevel >= ad.ion_nlevels[upion]:
+                uplevel = 0
+            up_abs = ad.ion_level_start[upion] + uplevel
+            # per-target threshold: the table's edge shifted by the
+            # target's excitation energy (get_nu_threshold analogue)
+            exc = max(0.0, float(ad.level_energy[up_abs] - up_ground_e))
+            levels.append(ad.ion_level_start[loion] + lolevel)
+            upions.append(upion)
+            uplevels.append(up_abs)
+            edges.append(thresh_ev * EV / H + exc / H)
+            sigmas.append(sigma * prob)
 
     order = np.argsort(edges)
     return PhixsData(

@@ -137,3 +137,37 @@ def test_bf_absorption_through_kernel(ad, ph):
     done = ((np.asarray(out.ptype) == TYPE_ESCAPE)
             | (np.asarray(out.prop_time) >= 1.6 - 1e-5))
     assert np.all(done)
+
+
+def test_multi_target_phixs_expansion(ad, tmp_path):
+    """A probability-split phixs table (upperlevel < 0,
+    input.cc:306-318) expands into one continuum per target with
+    prob-scaled sigma; single-target rows stay intact."""
+    from artis_tpu.phixs import read_phixs_data
+    z = int(ad.elem_z[0])
+    npts = 5
+    sig = [1.0, 0.8, 0.6, 0.5, 0.4]  # Mbarn
+    with open(tmp_path / "phixsdata_v2.txt", "w") as f:
+        f.write(f"{npts}\n0.1\n")
+        # multi-target: ground of ion 2 with p=0.75, level 2 with 0.25
+        f.write(f"{z} 2 -1 1 1 5.0\n2\n1 0.75\n2 0.25\n")
+        f.write("\n".join(str(v) for v in sig) + "\n")
+        # single-target control row from level 2
+        f.write(f"{z} 2 1 1 2 4.0\n")
+        f.write("\n".join(str(v) for v in sig) + "\n")
+    ph = read_phixs_data(str(tmp_path), ad)
+    lvl0 = ad.ion_level_start[0]
+    rows = np.nonzero(ph.cont_level == lvl0)[0]
+    assert len(rows) == 2  # the two targets
+    # total cross section preserved (sum of prob-scaled entries)
+    tot = ph.cont_sigma[rows].sum(axis=0)
+    np.testing.assert_allclose(tot, np.array(sig) * 1e-18, rtol=1e-12)
+    # the excited-target entry has a higher threshold
+    up_e = ad.level_energy[ph.cont_upperlevel[rows]]
+    edges = ph.cont_nu_edge[rows]
+    assert edges[np.argmax(up_e)] >= edges[np.argmin(up_e)]
+    # single-target row intact
+    rows2 = np.nonzero(ph.cont_level == lvl0 + 1)[0]
+    assert len(rows2) == 1
+    np.testing.assert_allclose(ph.cont_sigma[rows2[0]],
+                               np.array(sig) * 1e-18, rtol=1e-12)
