@@ -140,3 +140,28 @@ def test_nt_feedback_heats(sim_done):
     assert hasattr(sim_done, "est_prev") and "dep_cell" in sim_done.est_prev
     dep = sim_done._dep_rate_density(float(sim_done.ts.mid[3]))
     assert np.any(dep[nz] > 0)
+
+
+def test_nt_channels_gated_until_nlte_phase():
+    """The SF ionisation/excitation channels must not feed transport
+    during the forced-LTE timesteps (the reference only solves
+    Spencer-Fano in the NLTE branch, update_grid.cc:775-887) — the
+    tables carry zeros before num_lte_timesteps and real fractions
+    after."""
+    cfg = SimConfig(npkts=400, ntimesteps=4, tmin_days=80.0,
+                    tmax_days=200.0, ftstep=4, opacity_case=4,
+                    seed=8, num_grey_timesteps=0, num_lte_timesteps=2,
+                    nonthermal_on=True, sf_points=192,
+                    compact_min_size=64)
+    model = make_toy_1d_model(nshells=3, mtot_msun=0.6,
+                              mni56_msun=0.5, tmin=cfg.tmin)
+    sim = Simulation(model, cfg,
+                     atomic_data=make_synthetic_atomic_data())
+    t0 = float(sim.ts.mid[0])
+    tab_lte = sim._tables(t0)
+    assert float(np.max(np.asarray(tab_lte["nt_frac_ion"]))) == 0.0
+    sim.run(checkpoint=False, verbose=False)
+    tab_nlte = sim._tables(float(sim.ts.mid[3]))
+    nz = sim.grid.rho_init > 0
+    fi = np.asarray(tab_nlte["nt_frac_ion"])[:-1][nz]
+    assert np.any(fi > 0)
