@@ -673,7 +673,8 @@ class Simulation:
 
         # 1. grid solve with the previous timestep's estimators
         if self.detailed:
-            update_grid_common(self.grid, self.dm, cfg, tmid)
+            update_grid_common(self.grid, self.dm, cfg, tmid,
+                               elements_z=self.atomic_data.elem_z)
         else:
             update_grid_grey(self.grid, self.dm, cfg, tmid)
         if self.est_J_prev is not None and self.deltat_prev > 0:

@@ -210,16 +210,30 @@ def calculate_kappagrey(g: Grid, cfg: SimConfig):
     g.kappagrey = np.where(pos, kappa, 0.0)
 
 
-def calculate_electron_densities(g: Grid):
+def calculate_electron_densities(g: Grid, elements_z=None):
     """Total (bound+free) electron density per cell
-    (calculate_electron_densities, update_grid.cc; used for Compton
-    scattering of gamma rays)."""
+    (calculate_electron_densities, update_grid.cc:1660-1687; used for
+    Compton scattering of gamma rays).
+
+    ``elements_z``: when an atomic dataset is loaded, the reference
+    counts nnetot over the MODEL-ATOM elements only (nnelement x Z for
+    element in get_nelements(), update_grid.cc:1669-1674) — in
+    r-process models where most mass sits in unmodelled Z > 30
+    species this is far less than the all-matter value, and gamma-ray
+    deposition follows it. Pass the dataset's Z list for parity."""
     zs = np.arange(1, MAX_Z_ABUND + 1)
-    # n_e,tot = rho * sum_Z X_Z * Z / (A_Z * m_H)
-    per_gram = g.elem_abund @ (zs / (ATOMIC_WEIGHTS * MH))
-    # fall back to Z/A ~ 0.5 matter if no composition is given
-    fallback = 0.5 / MH
-    per_gram = np.where(per_gram > 0, per_gram, fallback)
+    weights = zs / (ATOMIC_WEIGHTS * MH)
+    if elements_z is not None:
+        mask = np.zeros(MAX_Z_ABUND)
+        for z in np.asarray(elements_z).ravel():
+            if 1 <= int(z) <= MAX_Z_ABUND:
+                mask[int(z) - 1] = 1.0
+        per_gram = g.elem_abund @ (weights * mask)
+    else:
+        # n_e,tot = rho * sum_Z X_Z * Z / (A_Z * m_H); fall back to
+        # Z/A ~ 0.5 matter if no composition is given
+        per_gram = g.elem_abund @ weights
+        per_gram = np.where(per_gram > 0, per_gram, 0.5 / MH)
     g.nnetot = g.rho * per_gram
     g.nne = g.nnetot  # refined by the plasma solver when enabled
 

@@ -374,35 +374,58 @@ def model_2d_to_3d(m: Model, ncoord: int = 50) -> Model:
                  init_energyq=q)
 
 
-def read_abundances(path: str, ncells: int) -> np.ndarray:
-    """Read abundances.txt: per-cell elemental mass fractions Z=1..30
+def read_abundances(path: str, ncells: int,
+                    normalise: bool = True) -> np.ndarray:
+    """Read abundances.txt: per-cell elemental mass fractions
     (abundances_read, grid.cc:1007-1079). Returns [ncells, 30].
 
+    The file may carry MORE than 30 element columns (kilonova
+    r-process compositions go to Z ~ 110; the reference reads up to
+    150, grid.cc:1040-1049) — each row is normalised by the sum over
+    ALL of its columns, then truncated to Z <= 30. Truncate-then-
+    normalise would inflate the Fe-group fractions by 1/sum(Z<=30)
+    (15-500x in r-process ejecta). ``normalise=False`` matches the
+    reference's 3D-model behaviour (normfactor = 1, grid.cc:1052).
+
     Uses the native bulk parser (native/fastparse.c) when available —
-    3D models have up to ~1e6 rows of 31 columns."""
+    3D models have up to ~1e6 rows."""
     from .native import load_numbers
     nums = load_numbers(path)
-    ncols = MAX_Z_ABUND + 1
-    if len(nums) % ncols == 0 and len(nums) // ncols >= ncells:
-        table = nums.reshape(-1, ncols)
-        out = np.zeros((ncells, MAX_Z_ABUND))
-        idx = table[:, 0].astype(int) - 1
-        sel = (idx >= 0) & (idx < ncells)
-        out[idx[sel]] = table[sel, 1:]
-        norm = out.sum(axis=1, keepdims=True)
-        return np.where(norm > 0, out / np.maximum(norm, 1e-300), out)
-    # fallback: line-based parse for ragged files
+
+    def finish(out, rowsum):
+        if normalise:
+            out = np.where(rowsum > 0, out / np.maximum(rowsum, 1e-300),
+                           out)
+        return out
+
+    # fast path: uniform column count
+    nrows_guess = max(ncells, 1)
+    if len(nums) % nrows_guess == 0:
+        ncols = len(nums) // nrows_guess
+        if ncols >= 2:
+            table = nums.reshape(-1, ncols)
+            ids = table[:, 0]
+            if np.array_equal(ids, np.arange(1, len(ids) + 1)):
+                out = np.zeros((ncells, MAX_Z_ABUND))
+                nz = min(MAX_Z_ABUND, ncols - 1)
+                out[:, :nz] = table[:ncells, 1:1 + nz]
+                rowsum = table[:ncells, 1:].sum(axis=1, keepdims=True)
+                return finish(out, rowsum)
+    # line-based parse (ragged or mismatched files)
     out = np.zeros((ncells, MAX_Z_ABUND))
+    rowsum = np.zeros((ncells, 1))
+    i = -1
     for i, line in enumerate(_noncomment_lines(path)):
         vals = line.split()
         mgi = int(vals[0]) - 1
-        row = np.array([float(v) for v in vals[1:1 + MAX_Z_ABUND]])
-        out[mgi, :len(row)] = row
+        if not 0 <= mgi < ncells:
+            continue
+        row = np.array([float(v) for v in vals[1:]])
+        n = min(len(row), MAX_Z_ABUND)
+        out[mgi, :n] = row[:n]
+        rowsum[mgi, 0] = row.sum()
     assert i + 1 >= ncells
-    # normalise tiny numerical drift
-    norm = out.sum(axis=1, keepdims=True)
-    out = np.where(norm > 0, out / np.maximum(norm, 1e-300), out)
-    return out
+    return finish(out, rowsum)
 
 
 def make_toy_1d_model(nshells: int = 32, vmax: float = 2.5e9,

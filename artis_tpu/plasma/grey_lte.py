@@ -41,9 +41,12 @@ def normalise_J(est_J_sim: np.ndarray, g: Grid, units: Units,
 
 
 def update_grid_common(g: Grid, dm: DecayModel, cfg: SimConfig,
-                       tmid: float, zlist=None):
+                       tmid: float, zlist=None, elements_z=None):
     """Advance densities/abundances to timestep midpoint ``tmid``
-    (common to grey and detailed modes)."""
+    (common to grey and detailed modes).
+
+    ``elements_z``: model-atom element list for the nnetot restriction
+    (calculate_electron_densities, update_grid.cc:1669-1674)."""
     trat = tmid / g.tmin
     g.rho = g.rho_init / trat**3
 
@@ -53,7 +56,7 @@ def update_grid_common(g: Grid, dm: DecayModel, cfg: SimConfig,
     if g.elem_abund_init is not None and g.elem_abund_init.any():
         g.elem_abund = dm.update_elemental_abundances(
             g.elem_abund_init, zlist, tmid)
-    calculate_electron_densities(g)
+    calculate_electron_densities(g, elements_z=elements_z)
 
 
 def update_grid_grey(g: Grid, dm: DecayModel, cfg: SimConfig,
