@@ -474,12 +474,17 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     m_flow = is_pellet & (tdecay > t2)
     upd(m_flow, pos=pk.pos * (t2 / ts)[:, None], prop_time=t2)
 
+    # (c, mask first) decayed before tmin (first timestep only):
+    # these become Lucy-2004 PRE_KPKT packets below and must NOT also
+    # take the normal decay branch
+    m_pre = is_pellet & (tdecay <= ts) & nts_is_first
+
     # (b) decays within (ts, t2]; pellets whose tdecay is already in
     # the past (possible only on a mid-run cold start, e.g. itstep > 0
     # without a checkpoint) decay immediately at the current time so
     # they can never wedge the event loop
     tdecay = jnp.maximum(tdecay, ts)
-    m_decay = is_pellet & (tdecay <= t2) & ~m_flow
+    m_decay = is_pellet & (tdecay <= t2) & ~m_flow & ~m_pre
     pos_dec = pk.pos * (tdecay / ts)[:, None]
     cnt["pellet_decays"] += mcount(m_decay)
 
@@ -516,9 +521,10 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         prop_time=tdecay)
 
     # (c) decayed before tmin (first timestep only): Lucy 2004 losses
-    # (update_packets.cc:117-130); sim-time tmin == 1
-    m_pre = is_pellet & (tdecay <= ts) & nts_is_first
-    upd(m_pre, ptype=TYPE_PRE_KPKT, e_cmf=pk.e_cmf * tdecay,
+    # e_cmf *= tdecay/tmin (update_packets.cc:117-130); sim-time
+    # tmin == 1, and the RAW pk.tdecay must be used — the overdue
+    # clamp above would erase the energy reduction
+    upd(m_pre, ptype=TYPE_PRE_KPKT, e_cmf=pk.e_cmf * pk.tdecay,
         prop_time=jnp.float32(1.0))
 
     # =====================================================================

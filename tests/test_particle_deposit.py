@@ -129,3 +129,44 @@ def test_initial_temperature_includes_q(fixture_dir):
     assign_initial_temperatures(g_off, dm, cfg.tmin * 1.05, cfg_off)
     assert np.all(g_on.Te >= g_off.Te)
     assert np.any(g_on.Te > g_off.Te)
+
+
+def test_pre_tmin_lucy_reduction(fixture_dir):
+    """Pellets decaying before tmin become PRE_KPKT packets with
+    e_cmf scaled by tdecay/tmin (Lucy 2004; update_packets.cc:117-130)
+    — and must NOT also take the normal decay branch (the overdue-
+    pellet clamp must not erase the reduction)."""
+    import jax.numpy as jnp
+    from artis_tpu.transport.kernel import _event_step, zero_estimators
+    from artis_tpu.packets import TYPE_RADIOACTIVE_PELLET, TYPE_RPKT
+
+    cfg = SimConfig(npkts=2000, ntimesteps=4, tmin_days=2.0,
+                    tmax_days=12.0, ftstep=4, opacity_case=0,
+                    grey_op=0.05, seed=3, compact_min_size=64)
+    model = read_1d_model(os.path.join(fixture_dir, "model.txt"),
+                          tmin=cfg.tmin, data_path=fixture_dir)
+    sim = Simulation(model, cfg)
+    arr0 = to_numpy(sim.packets)
+    pre = ((arr0["tdecay"] < 1.0)
+           & (arr0["ptype"] == TYPE_RADIOACTIVE_PELLET))
+    assert pre.sum() > 50, "fixture should produce pre-tmin decays"
+    tables = sim._place_tables(sim._tables(float(sim.ts.mid[0])))
+    t2 = jnp.float32(sim.units.time_to_sim(
+        float(sim.ts.start[0] + sim.ts.width[0])))
+    est = zero_estimators(sim.grid.nmodel, 0, None)
+    pk_out, est_out = _event_step(
+        sim.packets, est, tables, sim.params, t2, True,
+        sim.base_key, "spherical", sim.grid.ncoordgrid[0], False,
+        False)
+    arr1 = to_numpy(pk_out)
+    # converted to (PRE_KPKT ->) r-packets with the reduced energy
+    conv = pre & (arr1["ptype"] == TYPE_RPKT)
+    assert conv.sum() > 50
+    np.testing.assert_allclose(arr1["e_cmf"][conv],
+                               (arr0["e_cmf"] * arr0["tdecay"])[conv],
+                               rtol=1e-5)
+    # and they are not double-counted as in-window decays
+    assert int(est_out["pellet_decays"]) == int(
+        ((arr0["tdecay"] > 1.0)
+         & (arr0["tdecay"] <= float(t2))
+         & (arr0["ptype"] == TYPE_RADIOACTIVE_PELLET)).sum())
