@@ -741,6 +741,9 @@ class Simulation:
                 update_temperatures_from_J(self.grid, cfg, J_cgs)
         if self.detailed:
             update_thick_flags(self.grid, cfg, nts, tmid)
+        # phase timing: grid/plasma solve finished here (the analogue
+        # of the reference's per-phase printouts, sn3d.cc:553-554)
+        self._t_solve = _time.time() - t_start
 
         # 2. checkpoint before transport (save_grid_and_packets,
         # sn3d.cc:466-512)
@@ -959,6 +962,8 @@ class Simulation:
                   f"gamma_dep={est_np['gamma_dep'] * e0 / self.deltat_prev / LSUN:9.3e} Lsun  "
                   f"escatters={int(est_np['escounter']):9d}  "
                   f"({_time.time() - t_start:5.1f}s"
+                  + (f"; solve {self._t_solve:.1f}s"
+                     if hasattr(self, "_t_solve") else "")
                   + (f"; tables {self._t_tables_ma:.1f}s"
                      if hasattr(self, "_t_tables_ma") else "")
                   + ")")
@@ -1077,6 +1082,11 @@ class Simulation:
             "iterations": int(est["iterations"]),
             **({"gamma_est_over_fit": self.gamma_est_over_fit}
                if hasattr(self, "gamma_est_over_fit") else {}),
+            # per-phase wall times (tracing; sn3d.cc:553-554 analogue)
+            **({"t_solve_s": round(self._t_solve, 3)}
+               if hasattr(self, "_t_solve") else {}),
+            **({"t_tables_s": round(self._t_tables_ma, 3)}
+               if hasattr(self, "_t_tables_ma") else {}),
         })
 
     # -- checkpoint / resume ------------------------------------------
