@@ -116,20 +116,27 @@ def sobolev_tau(ad: AtomicData, levelpops: np.ndarray,
 def line_expansion_opacity(ad: AtomicData, levelpops: np.ndarray,
                            t_mid_s: float, t_mid_sim: float,
                            lognu_min: float, dlognu: float,
-                           nbins: int) -> np.ndarray:
-    """Binned line expansion opacity per sim length [ncells, nbins]:
-      chi_bin = sum_{lines in bin} (1 - e^-tau_i) * nu_i
-                / (dnu_bin * t_sim)
-    — the Eastman & Pinto (1993) binned treatment of the line forest,
-    used here for the virtual-packet ray-march (the real-packet
-    transport keeps the exact per-line Sobolev walk)."""
+                           nbins: int, raw_tau: bool = True) -> np.ndarray:
+    """Binned line opacity per sim length [ncells, nbins]:
+      chi_bin = sum_{lines in bin} w_i * nu_i / (dnu_bin * t_sim)
+    with w_i = tau_i (``raw_tau``, default) or 1 - e^-tau_i.
+
+    With w_i = tau_i, integrating chi along a ray whose comoving
+    frequency sweeps through a bin reproduces the reference's exact
+    per-resonance Sobolev tau sum (check_tau walk, vpkt.cc:374-441)
+    in expectation — the binning only smears WHERE along the sweep
+    each line's tau is collected (validated in test_vpkt.py).
+    w_i = 1 - e^-tau_i is the Eastman & Pinto (1993) expansion
+    opacity, appropriate for scattering-rate estimates but an
+    underestimate of attenuation through optically thick lines."""
     tau = sobolev_tau(ad, levelpops, t_mid_s)
     ibin = ((np.log(np.maximum(ad.line_nu, 1.0)) - lognu_min)
             / dlognu).astype(np.int64)
     ok = (ibin >= 0) & (ibin < nbins)
     nu_lo = np.exp(lognu_min + ibin * dlognu)
     dnu_bin = nu_lo * np.expm1(dlognu)
-    w = np.where(ok, -np.expm1(-tau) * ad.line_nu[None, :]
+    wi = tau if raw_tau else -np.expm1(-tau)
+    w = np.where(ok, wi * ad.line_nu[None, :]
                  / np.maximum(dnu_bin[None, :], 1e-30), 0.0)
     out = np.zeros((levelpops.shape[0], nbins))
     np.add.at(out.T, np.clip(ibin, 0, nbins - 1), w.T)

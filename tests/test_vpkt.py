@@ -159,3 +159,52 @@ def test_vpkt_grid_image():
     cz = (iz * w).sum() / w.sum()
     assert abs(cy - 9.5) < 2.5 and abs(cz - 9.5) < 2.5, (cy, cz)
     assert os.path.exists("/tmp/vgrid_out/vpkt_grid.out")
+
+
+def test_binned_line_tau_matches_exact_sobolev_sum():
+    """The vpkt ray-march integrates the binned line opacity along the
+    comoving frequency sweep; with raw-tau binning this must
+    reproduce the exact per-resonance Sobolev tau sum (the
+    reference's check_tau line walk, vpkt.cc:374-441) up to bin-edge
+    smearing."""
+    import numpy as np
+    from artis_tpu.atomic import make_synthetic_atomic_data
+    from artis_tpu.plasma import lte
+    from artis_tpu.plasma.macroatom import (line_expansion_opacity,
+                                            sobolev_tau)
+    from artis_tpu.constants import CLIGHT, DAY
+
+    ad = make_synthetic_atomic_data()
+    nd = np.full((1, ad.nelements), 1e8)
+    T = np.array([6000.0])
+    pops = lte.solve_lte_populations(ad, nd, T)
+    nl = lte.level_populations(ad, pops, T)
+
+    t_s = 10.0 * DAY
+    tau = sobolev_tau(ad, nl, t_s)[0]
+
+    # radial outward ray from v1=0.05c to v2=0.25c at time t_s:
+    # nu_cmf(s) = nu_rf (1 - v(s)/c), sweeping downward
+    nu_rf = 3.6e15
+    b1, b2 = 0.05, 0.25
+    nu_hi, nu_lo = nu_rf * (1 - b1), nu_rf * (1 - b2)
+    swept = (ad.line_nu <= nu_hi) & (ad.line_nu > nu_lo)
+    tau_exact = float(tau[swept].sum())
+    assert tau_exact > 0.1, "need a meaningful line forest in the sweep"
+
+    nbins = 1024
+    lognu_min = np.log(1e13)
+    dln = (np.log(5e15) - np.log(1e13)) / nbins
+    x_unit = CLIGHT * t_s  # sim length unit: c * t (ds_sim = ds/x_unit)
+    chi = line_expansion_opacity(ad, nl, t_s, t_s / t_s,
+                                 lognu_min, dln, nbins)[0]
+    # chi is per sim length with t_sim = 1 (t in units of t_s);
+    # integrate along the ray in fine steps
+    nstep = 4000
+    beta = np.linspace(b1, b2, nstep)
+    ds = (b2 - b1) * CLIGHT * t_s / nstep / x_unit  # sim lengths
+    nu_c = nu_rf * (1 - beta)
+    ib = ((np.log(nu_c) - lognu_min) / dln).astype(int)
+    tau_march = float(np.sum(chi[np.clip(ib, 0, nbins - 1)]) * ds)
+    assert abs(tau_march / tau_exact - 1) < 0.12, \
+        (tau_march, tau_exact)
