@@ -704,8 +704,9 @@ class Simulation:
                     g = self.grid
                     with np.errstate(invalid="ignore"):
                         T_J = (J_cgs * PI / STEBO) ** 0.25
-                    T_J = np.where(np.isfinite(T_J) & (T_J > 0),
-                                   T_J, g.TJ)
+                    # estimator-starved cells clamp to MINTEMP
+                    # (get_T_J_from_J, radfield.cc:1464-1481)
+                    T_J = np.where(np.isfinite(T_J), T_J, g.TJ)
                     T_J = np.clip(T_J, cfg.mintemp, cfg.maxtemp)
                     for arr in (g.Te, g.TR, g.TJ):
                         arr[thick_prev] = T_J[thick_prev]
@@ -1218,12 +1219,22 @@ class Simulation:
     def write_outputs(self):
         out = self.out_dir
         spec_r = self.build_spectra(11)
+        # second block: per-ts gamma deposition + cmf luminosity rates
+        # (light_curve.cc:23-29)
+        dep_by_ts = {d["ts"]: d for d in self.dep_log}
+        dep_block = [
+            (dep_by_ts[i]["gamma_dep_Lsun"] if i in dep_by_ts else 0.0,
+             (dep_by_ts[i]["cmf_lum"] / self.ts.width[i] / LSUN)
+             if i in dep_by_ts else 0.0)
+            for i in range(self.cfg.ftstep)]
         spectra_mod.write_light_curve(
-            os.path.join(out, "light_curve.out"), spec_r)
+            os.path.join(out, "light_curve.out"), spec_r,
+            nts_max=self.cfg.ftstep, dep_block=dep_block)
         spectra_mod.write_spectrum(os.path.join(out, "spec.out"), spec_r)
         spec_g = self.build_spectra(10)
         spectra_mod.write_light_curve(
-            os.path.join(out, "gamma_light_curve.out"), spec_g)
+            os.path.join(out, "gamma_light_curve.out"), spec_g,
+            nts_max=self.cfg.ftstep, dep_block=dep_block)
         spectra_mod.write_spectrum(
             os.path.join(out, "gamma_spec.out"), spec_g)
         if self.detailed and self.atomic_data is not None:

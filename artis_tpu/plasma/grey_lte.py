@@ -100,10 +100,13 @@ def fit_fullspec_dilute(g: Grid, cfg: SimConfig, J_cgs: np.ndarray,
 
 def update_temperatures_from_J(g: Grid, cfg: SimConfig,
                                J_cgs: np.ndarray):
-    """LTE temperature update from the mean intensity estimator."""
+    """LTE temperature update from the mean intensity estimator
+    (get_T_J_from_J, radfield.cc:1464-1481): estimator-starved cells
+    (J = 0 -> T_J = 0) CLAMP to MINTEMP — the previous temperature is
+    kept only for a non-finite estimator."""
     with np.errstate(invalid="ignore"):
         T_J = (J_cgs * PI / STEBO) ** 0.25
-    T_J = np.where(np.isfinite(T_J) & (T_J > 0), T_J, g.TJ)
+    T_J = np.where(np.isfinite(T_J), T_J, g.TJ)
     T_J = np.clip(T_J, cfg.mintemp, cfg.maxtemp)
     T_J = np.where(g.rho_init > 0, T_J, 0.0)
     g.Te = T_J.copy()

@@ -148,12 +148,24 @@ def select_escaped(arrays: dict[str, np.ndarray],
     return {k: v[mask] for k, v in arrays.items()}
 
 
-def write_light_curve(path: str, spec: Spectra):
-    """light_curve.out format: tmid_days, L/Lsun, L_cmf/Lsun
-    (write_light_curve, light_curve.cc:9-32)."""
+def write_light_curve(path: str, spec: Spectra, nts_max=None,
+                      dep_block=None):
+    """light_curve.out format: tmid_days, L/Lsun, L_cmf/Lsun rows,
+    then (angle-average only) a second block of the same times with
+    the gamma deposition rate and comoving-frame luminosity
+    (write_light_curve, light_curve.cc:9-32).
+
+    ``dep_block``: optional [(gamma_dep_Lsun, cmf_lum_Lsun), ...] per
+    timestep for the second block."""
+    n = len(spec.time_mid) if nts_max is None else min(
+        nts_max, len(spec.time_mid))
     with open(path, "w") as f:
-        for t, l, lc in zip(spec.time_mid, spec.lum, spec.lum_cmf):
+        for t, l, lc in zip(spec.time_mid[:n], spec.lum[:n],
+                            spec.lum_cmf[:n]):
             f.write(f"{t:g} {l / LSUN:g} {lc / LSUN:g}\n")
+        if dep_block is not None:
+            for t, (gd, cl) in zip(spec.time_mid[:n], dep_block[:n]):
+                f.write(f"{t:g} {gd:g} {cl:g}\n")
 
 
 def build_specpol(escaped: dict[str, np.ndarray], ts: TimestepGrid,

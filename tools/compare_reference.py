@@ -102,8 +102,16 @@ def parse_deposition_tpu(path: str) -> dict[str, np.ndarray]:
 
 
 def parse_light_curve(path: str) -> dict[str, np.ndarray]:
+    """First block only: the file repeats the time grid with a second
+    gamma-deposition block (light_curve.cc:23-29)."""
     data = np.loadtxt(path, ndmin=2)
-    return {"tmid_days": data[:, 0], "lum_Lsun": data[:, 1]}
+    t = data[:, 0]
+    n = len(t)
+    for i in range(1, len(t)):
+        if t[i] < t[i - 1]:  # time restarts -> second block
+            n = i
+            break
+    return {"tmid_days": data[:n, 0], "lum_Lsun": data[:n, 1]}
 
 
 def parse_spec(path: str) -> dict[str, np.ndarray]:
