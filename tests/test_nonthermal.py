@@ -185,3 +185,18 @@ def test_solution_reuse_policy(ad):
     s.solve(nne * 3.0, nl, pops.ion_numberdens, timestep=20,
             max_ts_between_solutions=2)
     assert calls["n"] == 2
+
+
+def test_sf_grid_convergence(ad):
+    """The deposition fractions must be converged in the energy-grid
+    resolution: sfpts=256 vs 768 agree to a few percent (the
+    reference runs SFPTS=4096; the default here is 384 — this guards
+    the coarser grid)."""
+    pops, nl = _state(ad)
+    out = {}
+    for n in (256, 768):
+        s = SpencerFanoSolver(ad, sfpts=n, emax_ev=2000.0)
+        sol = s.solve(pops.nne, nl, pops.ion_numberdens)
+        out[n] = (sol.frac_heating[0], sol.frac_ionization[0])
+    assert abs(out[256][0] - out[768][0]) < 0.03
+    assert abs(out[256][1] - out[768][1]) < 0.03
