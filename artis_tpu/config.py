@@ -44,6 +44,12 @@ class SimConfig:
 
     # --- model / grid
     model_type: int = 1  # 1, 2 or 3 dimensions (input.txt line 8)
+    # estimator / r-light-curve mode (input.txt line 9, stored as the
+    # reference's do_rlc_est = value-1; input.cc:1978): mode 3
+    # ("gamma-ray heating", input value 4 — every bundled fixture)
+    # adds deposition heating to the thermal balance
+    # (thermalbalance.cc:373-377)
+    do_rlc_est: int = 3
     ncoordgrid: int = 50  # propagation grid points per axis for 3D
 
     # --- opacity / physics switches
@@ -202,7 +208,8 @@ def read_input_txt(path: str, cfg: Optional[SimConfig] = None) -> SimConfig:
     cfg.nusyn_min_mev, cfg.nusyn_max_mev = floats(4)
     # vals[5] nsyn_time, vals[6] synthesis start/end times: unused here
     cfg.model_type = int(vals[7])
-    # vals[8] estimator mode, vals[9] n_out_it, vals[10] CLIGHT factor
+    cfg.do_rlc_est = int(vals[8]) - 1  # input.cc:1978
+    # vals[9] n_out_it, vals[10] CLIGHT factor
     cfg.gamma_grey = float(vals[11])
     sd = floats(12)
     cfg.syn_dir = (sd[0], sd[1], sd[2])

@@ -985,11 +985,20 @@ class Simulation:
         # Spencer-Fano solution pending the first solve, the reference
         # initialises frac_heating to 0.97 (nonthermal.cc:513)
         dep_heating = None
-        if self.cfg.nonthermal_on and "dep_cell" in self.est_prev:
+        # deposition heating enters the balance in the "gamma-ray
+        # heating" estimator mode (do_rlc_est == 3,
+        # thermalbalance.cc:373-377) — all bundled fixtures use it;
+        # without a Spencer-Fano solution frac_heating = 1 (the
+        # reference's no-NT_ON limit; 0.97 is its pre-solve default
+        # when NT is on, nonthermal.cc:513)
+        if self.cfg.do_rlc_est == 3 and "dep_cell" in self.est_prev:
             dep_rate_density = self._dep_rate_density(tmid)
-            sol = getattr(self, "sf_solution", None)
+            sol = (getattr(self, "sf_solution", None)
+                   if self.cfg.nonthermal_on else None)
             frac_heat = (sol.frac_heating if sol is not None
-                         else np.full(g.nmodel, 0.97))
+                         else np.full(g.nmodel,
+                                      0.97 if self.cfg.nonthermal_on
+                                      else 1.0))
             dep_heating = frac_heat * dep_rate_density
         nd = lte_mod.elem_numberdens_from_massfracs(
             self.atomic_data, g.rho, g.elem_abund)
