@@ -151,6 +151,7 @@ class Simulation:
                 ion_stats_nions=self._ion_stats_nions(),
                 syn_emiss_bins=self._syn_emiss_bins(),
                 vgrid_shape=self._vgrid_shape(),
+                n_bfcont=self._n_bfcont(),
                 relativistic=cfg.use_relativistic_doppler,
                 detailed=self.detailed,
                 polarization=cfg.polarization_on,
@@ -177,6 +178,17 @@ class Simulation:
         return (self.atomic_data.nlines
                 if (self.detailed and self.cfg.linestat_on
                     and self.atomic_data is not None) else 0)
+
+    def _n_bfcont(self) -> int:
+        # per-continuum bf-rate estimators: only with the multibin
+        # radfield + detailed-estimator mode, and bounded so the
+        # [ncells, ncont] array stays HBM-friendly
+        if not (self.detailed and self.cfg.multibin_radfield_on
+                and self.cfg.detailed_bf_estimators
+                and self.phixs is not None):
+            return 0
+        ncont = self.phixs.ncont
+        return ncont if (self.grid.nmodel + 1) * ncont <= 2 ** 27 else 0
 
     def _rf_nbins(self) -> int:
         return (self.cfg.radfield_nbins
@@ -406,6 +418,14 @@ class Simulation:
             pirates = photoion_mod.compute_rates(
                 self.atomic_data, ph, g.Te, g.TR, g.W, g.nne,
                 radfield=rf_binned)
+            bf_gamma = getattr(self, "_bfrate_gamma", None)
+            if use_raw and bf_gamma is not None \
+                    and bf_gamma.shape == pirates.gamma_corr.shape:
+                # transport-accumulated per-continuum estimators take
+                # priority where sampled (get_corrphotoioncoeff's
+                # gammacorr > 0 rule, ratecoeff.cc:1255-1262)
+                pirates.gamma_corr = np.where(
+                    bf_gamma > 0, bf_gamma, pirates.gamma_corr)
             if use_raw and rf_fit is not None:
                 # estimator-vs-fitted-field diagnostic: median ratio
                 # of the photoionisation rates over continua with a
@@ -738,6 +758,20 @@ class Simulation:
                         self._radfield_raw = radfield_mod.RawBinnedField(
                             nu_edges=edges, J_bin=Jb,
                             T_R=self._radfield_binned.T_R)
+                    if "bfrate" in self.est_prev:
+                        # per-continuum photoionisation rate
+                        # coefficients from the exact-sigma path
+                        # estimators (normalise_bf_estimators,
+                        # radfield.cc:764-828; estimator_normfactor
+                        # / H, update_grid.cc:1150): these replace
+                        # the binned-field integrals, which smear
+                        # narrow line photons across whole bins
+                        from .constants import H as _H
+                        bf_norm = (self.units.x_unit * self.units.e0
+                                   / (deltaV * self.deltat_prev * _H))
+                        self._bfrate_gamma = (
+                            self.est_prev["bfrate"][:g.nmodel]
+                            * bf_norm[:, None])
             else:
                 update_temperatures_from_J(self.grid, cfg, J_cgs)
         if self.detailed:
@@ -801,7 +835,8 @@ class Simulation:
                               nlines_stat=self._nlines_stat(),
                               ion_stats_nions=self._ion_stats_nions(),
                               syn_emiss_bins=self._syn_emiss_bins(),
-                              vgrid_shape=self._vgrid_shape())
+                              vgrid_shape=self._vgrid_shape(),
+                              n_bfcont=self._n_bfcont())
         chunks = 0
         iters_done = 0
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
@@ -831,7 +866,8 @@ class Simulation:
                             nlines_stat=self._nlines_stat(),
                             ion_stats_nions=self._ion_stats_nions(),
                             syn_emiss_bins=self._syn_emiss_bins(),
-                            vgrid_shape=self._vgrid_shape())
+                            vgrid_shape=self._vgrid_shape(),
+                            n_bfcont=self._n_bfcont())
                         compact_stack, snap_stack = [], []
                     else:
                         pk = self._place_batch(from_numpy(snap[0]))
@@ -906,7 +942,8 @@ class Simulation:
         self.est_prev = {k: est_np[k] for k in
                          ("J", "nuJ", "ffheat", "colheat", "dep_cell")
                          if k in est_np}
-        for k in ("J_bin", "nuJ_bin", "compton_emiss", "pp_emiss"):
+        for k in ("J_bin", "nuJ_bin", "compton_emiss", "pp_emiss",
+                  "bfrate"):
             if k in est_np:
                 self.est_prev[k] = est_np[k]
         self.deltat_prev = float(self.ts.width[nts])

@@ -138,6 +138,7 @@ def make_sharded_chunk_step(mesh: Mesh, *, grid_type: str, ncoord: int,
                             vp_shape=None, nlines_stat: int = 0,
                             ion_stats_nions: int = 0,
                             syn_emiss_bins: int = 0, vgrid_shape=None,
+                            n_bfcont: int = 0,
                             relativistic: bool = False,
                             detailed: bool = False,
                             polarization: bool = False,
@@ -164,7 +165,8 @@ def make_sharded_chunk_step(mesh: Mesh, *, grid_type: str, ncoord: int,
                                nlines_stat=nlines_stat,
                                ion_stats_nions=ion_stats_nions,
                                syn_emiss_bins=syn_emiss_bins,
-                               vgrid_shape=vgrid_shape)
+                               vgrid_shape=vgrid_shape,
+                               n_bfcont=n_bfcont)
         pk2, delta, n_act = run_timestep_chunk(
             pk, est0, tables, params, t2, nts_is_first, base_key,
             chunk_iters, grid_type=grid_type, ncoord=ncoord,

@@ -146,7 +146,8 @@ def zero_estimators(nmodel: int, radfield_nbins: int = 0,
                     nlines_stat: int = 0,
                     ion_stats_nions: int = 0,
                     syn_emiss_bins: int = 0,
-                    vgrid_shape=None) -> dict[str, jax.Array]:
+                    vgrid_shape=None,
+                    n_bfcont: int = 0) -> dict[str, jax.Array]:
     z = lambda: jnp.float32(0.0)
     out = {}
     if vgrid_shape is not None:
@@ -187,6 +188,13 @@ def zero_estimators(nmodel: int, radfield_nbins: int = 0,
                                  jnp.float32)
         out["nuJ_bin"] = jnp.zeros((nmodel + 1, radfield_nbins),
                                    jnp.float32)
+    if n_bfcont > 0:
+        # detailed per-continuum bf-rate estimators
+        # (update_bfestimators, radfield.cc:764-828): exact sigma(nu)
+        # path accumulation per (cell, continuum) — unlike the binned
+        # J integral this captures photoionisation driven by narrow
+        # line photons near the edges
+        out["bfrate"] = jnp.zeros((nmodel + 1, n_bfcont), jnp.float32)
     return out | {
         "J": jnp.zeros(nmodel + 1, jnp.float32),
         "nuJ": jnp.zeros(nmodel + 1, jnp.float32),
@@ -1304,6 +1312,36 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         est_nuJ_bin = est["nuJ_bin"] + bin_acc[:, 1].reshape(
             est["nuJ_bin"].shape)
 
+    if "bfrate" in est and detailed:
+        # detailed per-continuum bf-rate estimators
+        # (update_bfestimators, radfield.cc:764-828):
+        #   bfrate[cell, cont] += sigma_cont(nu_cmf) * dist * e_cmf
+        #                         / nu_cmf * dopp
+        # with sigma from the tabulated cross sections (linear interp
+        # on the shared x = nu/nu_edge grid,
+        # photoionization_crosssection_fromtable); the stimulated-
+        # recombination correction factor is ~1 for h nu >> k T_e
+        # (UVOIR edges) and is omitted (SEPARATE_STIMRECOMB
+        # convention, rpkt.cc:1129-1135)
+        ncont_b = est["bfrate"].shape[1]
+        NPx = params.cont_sigma.shape[1]
+        nu_b = jnp.maximum(nu_cmf_mid, 1.0)[:, None]  # [N, 1]
+        x_b = nu_b / params.cont_nu_edge[None, :ncont_b]  # [N, nc]
+        fi = (x_b - 1.0) / params.cont_nuinc
+        i0 = jnp.clip(fi.astype(jnp.int32), 0, NPx - 2)
+        frac = jnp.clip(fi - i0.astype(jnp.float32), 0.0, 1.0)
+        sig_flat = params.cont_sigma[:ncont_b].reshape(-1)
+        base = (jnp.arange(ncont_b, dtype=jnp.int32) * NPx)[None, :]
+        s0 = sig_flat[base + i0]
+        s1 = sig_flat[base + i0 + 1]
+        sig_b = s0 + frac * (s1 - s0)
+        in_table = (x_b >= 1.0) & (fi <= jnp.float32(NPx - 1))
+        w_bf = jnp.where(m_det,
+                         dist * e_cmf_mid / jnp.maximum(nu_cmf_mid, 1.0)
+                         * dopp_mid, 0.0)
+        contr_bf = jnp.where(in_table, sig_b, 0.0) * w_bf[:, None]
+        est_bfrate = est["bfrate"].at[mgi].add(contr_bf)
+
     # r-packet thick-cell scattering (rpkt_event_thickcell,
     # rpkt.cc:491-509): coherent isotropic re-emission
     ev_r = take_event & m_rpkt & ~m_det
@@ -1650,6 +1688,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     if "J_bin" in est:
         est_out["J_bin"] = est_J_bin
         est_out["nuJ_bin"] = est_nuJ_bin
+    if "bfrate" in est and detailed:
+        est_out["bfrate"] = est_bfrate
     est_out["J"] = est_J
     est_out["nuJ"] = est_nuJ
     est_out["dep_cell"] = est_dep

@@ -165,3 +165,29 @@ def test_nt_channels_gated_until_nlte_phase():
     nz = sim.grid.rho_init > 0
     fi = np.asarray(tab_nlte["nt_frac_ion"])[:-1][nz]
     assert np.any(fi > 0)
+
+
+def test_bfrate_estimators_accumulate_and_feed_rates(sim_done):
+    """The per-continuum bf-rate estimators (update_bfestimators,
+    radfield.cc:764-828) accumulate during transport and take priority
+    over the binned-field integrals in the photoionisation rates
+    (get_corrphotoioncoeff, ratecoeff.cc:1255-1262)."""
+    assert "bfrate" in sim_done.est_prev
+    bf = np.asarray(sim_done.est_prev["bfrate"])
+    assert bf.shape[1] == sim_done.phixs.ncont
+    nz = sim_done.grid.rho_init > 0
+    assert np.any(bf[:-1][nz] > 0), "no bf-rate contributions sampled"
+    g = getattr(sim_done, "_bfrate_gamma", None)
+    assert g is not None and np.all(np.isfinite(g))
+    # where the field is well-sampled the estimator rate and the
+    # binned-field integral agree in order of magnitude (the binned
+    # integral smears lines, so only a loose bracket holds)
+    from artis_tpu.plasma import photoion as photoion_mod
+    pir = photoion_mod.compute_rates(
+        sim_done.atomic_data, sim_done.phixs, sim_done.grid.Te,
+        sim_done.grid.TR, sim_done.grid.W, sim_done.grid.nne,
+        radfield=sim_done._radfield_raw)
+    both = (g > 0) & (pir.gamma_corr > 0)
+    assert both.sum() > 10
+    ratio = g[both] / pir.gamma_corr[both]
+    assert 0.01 < np.median(ratio) < 100.0
