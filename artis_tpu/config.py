@@ -101,6 +101,14 @@ class SimConfig:
     # fitted per-bin dilute-Planck shape. Active when
     # multibin_radfield_on.
     detailed_bf_estimators: bool = True
+    # activation timesteps for the NLTE radfield machinery
+    # (FIRST_NLTE_RADFIELD_TIMESTEP = 12,
+    # DETAILED_BF_ESTIMATORS_USEFROMTIMESTEP = 13,
+    # artisoptions_nltenebular.h:99,119): before these, the rate
+    # integrals use the fullspec dilute-blackbody fit / field
+    # integrals, as the reference does
+    first_nlte_radfield_ts: int = 12
+    detailed_bfest_from_ts: int = 13
     # per-line emission/absorption counters -> linestat.out
     # (sn3d.cc:62-84); detailed mode only
     linestat_on: bool = True

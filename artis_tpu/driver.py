@@ -748,17 +748,27 @@ class Simulation:
                     edges = radfield_mod.make_bin_edges(
                         cfg.nu_min_r, cfg.nu_max_r,
                         cfg.radfield_nbins)
-                    self._radfield_binned = \
-                        radfield_mod.fit_bin_parameters(
-                            Jb, nuJb, edges, cfg.mintemp, cfg.maxtemp)
-                    # detailed bf estimators: keep the raw binned J
-                    # as a piecewise-constant field (the analogue of
-                    # update_bfestimators, radfield.cc:764-828)
-                    if cfg.detailed_bf_estimators:
-                        self._radfield_raw = radfield_mod.RawBinnedField(
-                            nu_edges=edges, J_bin=Jb,
-                            T_R=self._radfield_binned.T_R)
-                    if "bfrate" in self.est_prev:
+                    # the multibin field only feeds the rate
+                    # machinery from FIRST_NLTE_RADFIELD_TIMESTEP on
+                    # (radfield.cc MULTIBIN activation,
+                    # artisoptions_nltenebular.h:99); before that the
+                    # fullspec dilute fit drives the rates
+                    if nts >= cfg.first_nlte_radfield_ts:
+                        self._radfield_binned = \
+                            radfield_mod.fit_bin_parameters(
+                                Jb, nuJb, edges, cfg.mintemp,
+                                cfg.maxtemp)
+                        # detailed bf estimators: keep the raw binned
+                        # J as a piecewise-constant field (the
+                        # analogue of update_bfestimators,
+                        # radfield.cc:764-828)
+                        if cfg.detailed_bf_estimators:
+                            self._radfield_raw = \
+                                radfield_mod.RawBinnedField(
+                                    nu_edges=edges, J_bin=Jb,
+                                    T_R=self._radfield_binned.T_R)
+                    if ("bfrate" in self.est_prev
+                            and nts >= cfg.detailed_bfest_from_ts):
                         # per-continuum photoionisation rate
                         # coefficients from the exact-sigma path
                         # estimators (normalise_bf_estimators,

@@ -50,6 +50,10 @@ def main():
     # the fullspec Planck fit
     cfg.multibin_radfield_on = True
     cfg.radfield_nbins = 64
+    # classic runs the LUT transport estimators from the first NLTE
+    # timestep on; the multibin stand-in activates there too
+    cfg.first_nlte_radfield_ts = cfg.num_lte_timesteps
+    cfg.detailed_bfest_from_ts = cfg.num_lte_timesteps
     if cfg.data_path is None:
         cfg.data_path = inputdir  # collion/auger/decay data files
 

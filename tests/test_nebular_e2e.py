@@ -17,7 +17,8 @@ def sim_done():
                     seed=31, num_grey_timesteps=0, num_lte_timesteps=1,
                     nonthermal_on=True, sf_points=256,
                     nlte_pops_on=True, multibin_radfield_on=True,
-                    radfield_nbins=32, compact_min_size=64)
+                    radfield_nbins=32, compact_min_size=64,
+                    first_nlte_radfield_ts=1, detailed_bfest_from_ts=1)
     # late-time, low-density ejecta: nebular conditions
     model = make_toy_1d_model(nshells=4, mtot_msun=0.6,
                               mni56_msun=0.5, tmin=cfg.tmin)
