@@ -93,6 +93,14 @@ class Simulation:
             # hydrogenic cross sections so bf physics stays active
             phixs_data = make_hydrogenic_phixs(atomic_data)
         self.phixs = phixs_data
+        if (self.phixs is not None and atomic_data is not None
+                and cfg.data_path):
+            # calibrate recombination rates to tabulated values by
+            # scaling the cross sections, when recombrates.txt exists
+            # (read_recombrate_file, ratecoeff.cc:837-935)
+            from .phixs import calibrate_recombination
+            calibrate_recombination(self.phixs, atomic_data,
+                                    cfg.data_path)
         if self.detailed and atomic_data is None:
             raise ValueError(
                 "opacity_case 4 requires an AtomicData instance "

@@ -188,3 +188,93 @@ def read_phixs_data(path: str, ad: AtomicData) -> PhixsData:
         cont_nu_edge=np.array(edges, np.float64)[order],
         cont_sigma=np.array(sigmas, np.float64)[order],
     )
+
+
+def calibrate_recombination(ph: PhixsData, ad: AtomicData, path: str,
+                            t_elec: float = 6000.0,
+                            verbose: bool = True) -> int:
+    """Scale photoionisation cross sections so each ion's total
+    radiative recombination coefficient at ``t_elec`` matches the
+    tabulated rates in ``recombrates.txt`` (read_recombrate_file,
+    ratecoeff.cc:837-935; RECOMBCALIBRATION_T_ELEC).
+
+    File format: blocks of "Z upperionstage nrows" followed by rows
+    (log10 T_e, rrc_low_n, rrc_total); rrc_low_n < 0 means ignore.
+    The interpolation weights follow the reference exactly
+    (ratecoeff.cc:898-900, x weighting the bracketing rows in its
+    reversed order). Returns the number of ions scaled. The scaling
+    multiplies ``ph.cont_sigma`` rows in place, so every downstream
+    consumer (bf opacity, photoionisation, alpha_sp, bf cooling and
+    heating) sees the calibrated cross sections — matching the
+    reference's scale_level_phixs."""
+    import os
+
+    fn = os.path.join(path, "recombrates.txt")
+    if not os.path.exists(fn):
+        return 0
+    from .plasma import photoion as _pm
+
+    log_te = np.log10(t_elec)
+    with open(fn) as f:
+        tok = f.read().split()
+    pos = 0
+    nscaled = 0
+    Te1 = np.array([t_elec])
+    ones = np.ones(1)
+    while pos + 3 <= len(tok):
+        z, upstage, nrows = (int(float(tok[pos + i])) for i in range(3))
+        pos += 3
+        rows = np.array([[float(tok[pos + 3 * i + j]) for j in range(3)]
+                         for i in range(nrows)])
+        pos += 3 * nrows
+        below = rows[rows[:, 0] < log_te]
+        above = rows[rows[:, 0] > log_te]
+        if not len(below) or not len(above):
+            continue
+        rb = below[np.argmax(below[:, 0])]
+        ra = above[np.argmin(above[:, 0])]
+        x = (log_te - rb[0]) / (ra[0] - rb[0])
+        # the reference's (reversed) lerp weights, kept for parity
+        input_low_n = x * rb[1] + (1 - x) * ra[1]
+        input_total = x * rb[2] + (1 - x) * ra[2]
+
+        # ion index of the LOWER (recombining-to) ion
+        loion = None
+        for i in range(ad.nions_total):
+            if (int(ad.elem_z[ad.ion_element[i]]) == z
+                    and int(ad.ion_stage[i]) == upstage - 1):
+                loion = i
+                break
+        if loion is None:
+            continue
+        sel = np.nonzero(ph.cont_upperion == loion + 1)[0]
+        sel = sel[ph.cont_level[sel] >= ad.ion_level_start[loion]]
+        sel = sel[ph.cont_level[sel] < ad.ion_level_start[loion + 1]]
+        if not len(sel):
+            continue
+
+        def rrc_now():
+            pir = _pm.compute_rates(ad, ph, Te1, Te1, ones, ones)
+            return float(pir.alpha_sp[0, sel].sum())
+
+        rrc = rrc_now()
+        if rrc <= 0:
+            continue
+        if input_low_n >= 0:
+            mult = input_low_n / rrc
+            if 0.05 <= mult < 2.0:
+                ph.cont_sigma[sel] *= mult
+                rrc = rrc_now()
+                nscaled += 1
+        if rrc < input_total:
+            # no superlevel treatment here: scale all levels
+            # (ratecoeff.cc "There is no superlevel recombination"
+            # branch)
+            mult = input_total / rrc
+            ph.cont_sigma[sel] *= mult
+            nscaled += 1
+            if verbose:
+                print(f"recombrates: Z={z} ionstage {upstage}->"
+                      f"{upstage - 1}: rrc {rrc:.3e} -> "
+                      f"{input_total:.3e} (x{mult:.3f})")
+    return nscaled
