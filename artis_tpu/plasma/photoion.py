@@ -65,9 +65,23 @@ def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
     W = np.asarray(W, np.float64)[:, None]
     nne_c = np.asarray(nne, np.float64)[:, None]
 
-    x = ph.x_grid[None, :]  # [1, NP]
-    nu = ph.cont_nu_edge[:, None] * x  # [nc, NP]
-    sig = ph.cont_sigma  # [nc, NP]
+    # upsample the cross-section grid for the integrals: the Wien
+    # factor e^{-h nu / k T} decays on a scale k T / h (~2e14 Hz at
+    # 1e4 K) that the tabulated x spacing (0.1 nu_edge ~ 4e14 Hz at
+    # UV edges) under-resolves — the reference integrates the
+    # interpolated sigma with an adaptive GSL rule
+    # (precalculate_rate_coefficient_integrals, ratecoeff.cc:450-630);
+    # trapezoid on an 8x-refined grid matches it to < 1%
+    UPS = 8
+    xg = ph.x_grid
+    jf = np.arange((len(xg) - 1) * UPS + 1)
+    j0 = np.minimum(jf // UPS, len(xg) - 2)
+    wf = jf / UPS - j0
+    x_f = xg[j0] * (1 - wf) + xg[j0 + 1] * wf
+    sig = (ph.cont_sigma[:, j0] * (1 - wf)[None, :]
+           + ph.cont_sigma[:, j0 + 1] * wf[None, :])
+    x = x_f[None, :]  # [1, NPf]
+    nu = ph.cont_nu_edge[:, None] * x  # [nc, NPf]
     dnu = np.gradient(nu, axis=1)  # trapezoid-ish spacing
 
     g_l = ad.level_g[ph.cont_level]
