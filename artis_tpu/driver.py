@@ -507,12 +507,28 @@ class Simulation:
                     nt_ion_rate_ion=nt_ion_rate_ion,
                     nt_auger_prob=(sol.prob_num_auger
                                    if sol is not None else None))
+                # previously-thick cells keep the pure-LTE set
+                # (update_grid.cc:1106-1125 branch)
+                tp = getattr(self, "_thick_prev", None)
+                if tp is not None and tp.any():
+                    nl_nlte[tp] = levelpops.astype(np.float64)[tp]
                 self.nlte_levelpops = nl_nlte
                 self.lte_levelpops = levelpops.astype(np.float64)
-                g.nne = np.where(
-                    g.rho_init > 0,
-                    nltepop_mod.nne_from_levelpops(self.atomic_data,
-                                                   nl_nlte), 0.0)
+                nne_nlte = nltepop_mod.nne_from_levelpops(
+                    self.atomic_data, nl_nlte)
+                if tp is not None and tp.any():
+                    nne_nlte[tp] = g.nne[tp]
+                g.nne = np.where(g.rho_init > 0, nne_nlte, 0.0)
+                # cells that have been through the NLTE branch at
+                # least once carry a usable SF solution for the NT
+                # transport channels (the reference's per-cell
+                # nt_solution, solved inside solve_Te_nltepops)
+                solved = ~tp if tp is not None else np.ones(
+                    g.nmodel, bool)
+                prev = getattr(self, "_nlte_solved_once", None)
+                self._nlte_solved_once = (solved | prev
+                                          if prev is not None
+                                          else solved)
                 levelpops = nl_nlte.astype(np.float32)
             # ion-stage number densities for the estimators-file
             # populations rows (update_grid.cc:65-91)
@@ -624,8 +640,16 @@ class Simulation:
                 ionpots_ev = self.atomic_data.ion_ionpot / 1.6021772e-12
                 w_ion = (sol.ion_rate_per_dep * pops.ion_numberdens
                          * ionpots_ev[None, :])
-                tables["nt_frac_ion"] = jnp.asarray(
-                    pad(sol.frac_ionization.astype(np.float32)))
+                # only cells with an SF solution from a previous NLTE
+                # solve feed the ionisation/excitation channels
+                # (do_ntlepton falls back to pure heating otherwise)
+                solved = getattr(self, "_nlte_solved_once", None)
+                frac_i = sol.frac_ionization.astype(np.float32)
+                if solved is not None:
+                    frac_i = np.where(solved, frac_i, 0.0)
+                elif self.cfg.nlte_pops_on:
+                    frac_i = np.zeros_like(frac_i)
+                tables["nt_frac_ion"] = jnp.asarray(pad(frac_i))
                 tables["nt_ion_cum"] = jnp.asarray(
                     pad(np.cumsum(w_ion, axis=1).astype(np.float32)))
                 if any(r.auger_g_accumulated > 0
@@ -717,6 +741,11 @@ class Simulation:
             # (update_grid.cc:1106 reads the thick flag set by the
             # previous timestep's update_grid_cell)
             thick_prev = (np.asarray(self.grid.thick) == 1)
+            # cells optically thick in the previous timestep take the
+            # pure-LTE branch this timestep (update_grid.cc:1106 reads
+            # the flag set by the previous update); the NLTE pops /
+            # SF channels in _tables() respect this mask
+            self._thick_prev = thick_prev.copy()
             if (self.detailed and nts >= cfg.num_lte_timesteps
                     and self.est_prev is not None):
                 with np.errstate(invalid="ignore", divide="ignore"):
