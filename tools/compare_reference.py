@@ -156,8 +156,10 @@ def compare_fields(ref: dict, tpu: dict, results: list,
         mu = m & ~ref_clamped
         clamp_frac = 1.0 - mu.sum() / max(m.sum(), 1)
         relu = (np.abs(b[mu] - a[mu]) / a[mu]) if mu.any() else rel
+        # the unclamped-subset guard needs enough entries to be a
+        # percentile statement
         p90_guard = (np.percentile(relu, 90) < 3 * rtol
-                     if clamp_frac > 0.05
+                     if (clamp_frac > 0.05 and mu.sum() >= 10)
                      else np.percentile(rel, 90) < 3 * rtol)
         results.append({
             "name": f"grid.{key}",
