@@ -34,9 +34,12 @@ def test_exspec_cli_matches_driver(tmp_path):
     assert "escaped r-packets" in res.stdout
 
     cli_lc = np.loadtxt(tmp_path / "light_curve.out")
+    # the driver's file carries a second gamma-deposition block
+    # (light_curve.cc:23-29); the UVOIR block must match the CLI's
+    n = len(cli_lc)
     # identical time grid and luminosities (same packets, same binning)
-    np.testing.assert_allclose(cli_lc[:, 0], driver_lc[:, 0],
+    np.testing.assert_allclose(cli_lc[:, 0], driver_lc[:n, 0],
                                rtol=1e-6)
-    np.testing.assert_allclose(cli_lc[:, 1], driver_lc[:, 1],
+    np.testing.assert_allclose(cli_lc[:, 1], driver_lc[:n, 1],
                                rtol=1e-5)
     assert (tmp_path / "spec.out").exists()
