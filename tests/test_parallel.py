@@ -132,3 +132,44 @@ def test_pad_batch_inert(sim):
     if extra:
         assert np.all(np.asarray(b.ptype)[-extra:] == 32)
         assert np.all(np.asarray(b.e_cmf)[-extra:] == 0)
+
+
+def test_elastic_resume_across_device_counts(tmp_path):
+    """Elastic recovery: a checkpoint written by a single-device run
+    resumes on an 8-device mesh (and vice versa the batch is re-placed
+    by _place_batch), completing to the same answer as the continuous
+    single-device run. The reference cannot do this — its restart
+    files are per-rank and require identical nprocs
+    (grid.cc:1829-1830); artis_tpu checkpoints are device-layout-free
+    host arrays + counter-based per-packet RNG, so transport is
+    invariant to the resharding (grey opacity is frequency-independent
+    so even ulp-level estimator-ordering differences cannot flip
+    trajectories)."""
+    cfg = SimConfig(npkts=512, ntimesteps=4, tmin_days=2.0,
+                    tmax_days=10.0, ftstep=4, opacity_case=0, seed=7)
+    mk = lambda: make_toy_1d_model(nshells=8, mni56_msun=0.2,
+                                   tmin=cfg.tmin)
+    ref = Simulation(mk(), cfg)
+    ref.run(verbose=False, checkpoint=False)
+
+    out = str(tmp_path / "elastic")
+    s1 = Simulation(mk(), cfg, out_dir=out)
+    s1.run(until=2, verbose=False, checkpoint=False)
+    s1.save_checkpoint(2)
+
+    s8 = Simulation(mk(), cfg, out_dir=out, n_devices=8)
+    assert s8.mesh is not None and s8.mesh.size == 8
+    s8.load_checkpoint(f"{out}/checkpoint_ts2.npz")
+    assert s8.nts_done == 2
+    assert s8.run(verbose=False, checkpoint=False) is True
+
+    # per-timestep event counters after the resume point are exact
+    for d_ref, d_8 in zip(ref.dep_log[2:], s8.dep_log[2:]):
+        assert d_8["pellet_decays"] == d_ref["pellet_decays"]
+        assert d_8["escounter"] == d_ref["escounter"]
+        np.testing.assert_allclose(d_8["gamma_dep_Lsun"],
+                                   d_ref["gamma_dep_Lsun"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s8.grid.Te),
+                               np.asarray(ref.grid.Te), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s8.grid.TR),
+                               np.asarray(ref.grid.TR), rtol=1e-4)
