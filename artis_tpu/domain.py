@@ -137,12 +137,17 @@ def shard_domain_tables(tables: dict, plan: DomainPlan,
 
 def make_domain_est(plan: DomainPlan, mesh: Mesh, rf_nbins: int = 0,
                     vp_shape=None, nlines_stat: int = 0,
-                    ion_stats_nions: int = 0) -> dict:
+                    ion_stats_nions: int = 0,
+                    syn_emiss_bins: int = 0, vgrid_shape=None,
+                    n_bfcont: int = 0) -> dict:
     """Initial per-device estimator stacks: every leaf gains a leading
     [ndev] axis sharded over "dd" (local model rows 0..ndo_max)."""
     base = zero_estimators(plan.ndo_max, rf_nbins, vp_shape,
                            nlines_stat=nlines_stat,
-                           ion_stats_nions=ion_stats_nions)
+                           ion_stats_nions=ion_stats_nions,
+                           syn_emiss_bins=syn_emiss_bins,
+                           vgrid_shape=vgrid_shape,
+                           n_bfcont=n_bfcont)
     shard = NamedSharding(mesh, P("dd"))
     out = {}
     for k, v in base.items():
@@ -233,6 +238,8 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
                      grid_type: str, ncoord: int, rf_nbins: int = 0,
                      vp_shape=None, nlines_stat: int = 0,
                      ion_stats_nions: int = 0,
+                     syn_emiss_bins: int = 0, vgrid_shape=None,
+                     n_bfcont: int = 0,
                      relativistic: bool = False,
                      detailed: bool = False,
                      polarization: bool = False, vpkt: bool = False):
@@ -262,7 +269,10 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
         # ---- transport the locally-owned packets for one chunk
         est0 = zero_estimators(ndo1 - 1, rf_nbins, vp_shape,
                                nlines_stat=nlines_stat,
-                               ion_stats_nions=ion_stats_nions)
+                               ion_stats_nions=ion_stats_nions,
+                               syn_emiss_bins=syn_emiss_bins,
+                               vgrid_shape=vgrid_shape,
+                               n_bfcont=n_bfcont)
         pk, delta, _ = run_timestep_chunk(
             pk, est0, tables, params, t2, nts_is_first, base_key,
             chunk_iters, grid_type=grid_type, ncoord=ncoord,

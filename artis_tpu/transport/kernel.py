@@ -294,6 +294,32 @@ def sigma_pairprod_cgs(nu_cmf, rho, ffegrp, gamma_grey):
 # thermal (Planck) frequency sampling
 # ---------------------------------------------------------------------------
 
+def _nbits(n: int) -> int:
+    """Binary-search step count for a table of static size n."""
+    import math
+    return max(1, int(math.ceil(math.log2(max(n, 2)))) + 1)
+
+
+def bisect_count_gt_desc(arr, vals, n: int):
+    """Index of the first entry of DESCENDING ``arr`` that is <= val
+    (== count of entries > val), per lane, by binary search: O(log n)
+    vector gathers instead of the O(N x n) broadcast compare, which is
+    the difference between viable and catastrophic at reference
+    linelist scale (1e5-1e7 lines, input.cc:1053-1065)."""
+    lo = jnp.zeros(vals.shape, jnp.int32)
+    hi = jnp.full(vals.shape, n, jnp.int32)
+
+    def body(_, lh):
+        lo_i, hi_i = lh
+        mid = (lo_i + hi_i) // 2
+        pred = arr[jnp.clip(mid, 0, n - 1)] > vals
+        return (jnp.where(pred, mid + 1, lo_i),
+                jnp.where(pred, hi_i, mid))
+
+    lo, _ = jax.lax.fori_loop(0, _nbits(n), body, (lo, hi))
+    return lo
+
+
 def searchsorted_cmp(xs, q, side: str = "left"):
     """TPU-fast searchsorted on a small sorted table: a broadcast
     compare + row reduction (fuses on the VPU) instead of
@@ -306,12 +332,24 @@ def searchsorted_cmp(xs, q, side: str = "left"):
                    axis=1)
 
 
-def interp_cmp(xq, xs, ys):
-    """Linear interpolation of monotone table (xs, ys) at xq via
-    compare-reduce indexing (see searchsorted_cmp); gathers from small
-    tables are cheap on TPU, the scan-based searchsorted is not."""
-    j = jnp.clip(searchsorted_cmp(xs, xq, "right"), 1,
-                 xs.shape[0] - 1)
+def interp_bs(xq, xs, ys):
+    """Linear interpolation of a monotone-ascending table (xs, ys) at
+    xq via per-lane binary search: O(log P) vector gathers instead of
+    the O(N x P) broadcast compare (the table fits VMEM, so the
+    gathers are on-chip)."""
+    n = xs.shape[0]
+    lo = jnp.zeros(xq.shape, jnp.int32)
+    hi = jnp.full(xq.shape, n, jnp.int32)
+
+    def body(_, lh):
+        lo_i, hi_i = lh
+        mid = (lo_i + hi_i) // 2
+        pred = xs[jnp.clip(mid, 0, n - 1)] <= xq
+        return (jnp.where(pred, mid + 1, lo_i),
+                jnp.where(pred, hi_i, mid))
+
+    lo, _ = jax.lax.fori_loop(0, _nbits(n), body, (lo, hi))
+    j = jnp.clip(lo, 1, n - 1)
     x0 = xs[j - 1]
     x1 = xs[j]
     y0 = ys[j - 1]
@@ -327,11 +365,11 @@ def sample_planck_nu(u, T, params: TransportParams):
     Tsafe = jnp.maximum(T, 1.0)
     x_lo = H * params.nu_min_r / (KB * Tsafe)
     x_hi = H * params.nu_max_r / (KB * Tsafe)
-    c_lo = interp_cmp(x_lo, xs, cdf)
-    c_hi = interp_cmp(x_hi, xs, cdf)
+    c_lo = interp_bs(x_lo, xs, cdf)
+    c_hi = interp_bs(x_hi, xs, cdf)
     target = c_lo + u * (c_hi - c_lo)
     # invert the CDF (monotone): interp target on (cdf -> log x)
-    logx = interp_cmp(target, cdf, jnp.log(xs))
+    logx = interp_bs(target, cdf, jnp.log(xs))
     nu = jnp.exp(logx) * KB * Tsafe / H
     return jnp.clip(nu, params.nu_min_r, params.nu_max_r)
 
@@ -367,6 +405,36 @@ def sample_recomb_nu(cont_idx, Te, u, params: TransportParams):
         0, NP, pick_body,
         (jnp.zeros_like(nu_edge), jnp.full_like(cont_idx, -1)))
     idx = jnp.clip(idx, 0, NP - 1)
+    return nu_edge * (1.0 + params.cont_nuinc * idx.astype(jnp.float32))
+
+
+def sample_recomb_nu_table(cont_idx, mgi, u, params: TransportParams,
+                           recomb_cum):
+    """Table-accelerated variant of :func:`sample_recomb_nu`: the
+    per-(cell, continuum) cumulative emissivity over the sigma grid is
+    precomputed once per timestep (driver._tables), so the per-event
+    cost drops from 2*NP sequential gathers to a log2(NP) binary
+    search — the TPU analogue of the reference's per-cell-history
+    cumulative emissivity cache (select_continuum_nu,
+    ratecoeff.cc:628-720)."""
+    NP = recomb_cum.shape[2]
+    flat = recomb_cum.reshape(-1)
+    base = (mgi * recomb_cum.shape[1]
+            + jnp.clip(cont_idx, 0, recomb_cum.shape[1] - 1)) * NP
+    target = u * flat[base + NP - 1]
+    lo = jnp.zeros_like(cont_idx)
+    hi = jnp.full_like(cont_idx, NP - 1)
+
+    def body(_, lh):
+        lo_i, hi_i = lh
+        mid = (lo_i + hi_i) // 2
+        pred = flat[base + mid] < target
+        return (jnp.where(pred, mid + 1, lo_i),
+                jnp.where(pred, hi_i, mid))
+
+    idx, _ = jax.lax.fori_loop(0, _nbits(NP), body, (lo, hi))
+    idx = jnp.clip(idx, 0, NP - 1)
+    nu_edge = params.cont_nu_edge[cont_idx]
     return nu_edge * (1.0 + params.cont_nuinc * idx.astype(jnp.float32))
 
 
@@ -601,7 +669,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                     jnp.where(below, hi_i, mid))
 
         ntlo, _ = jax.lax.fori_loop(
-            0, 12, nt_body,
+            0, _nbits(nions_nt), nt_body,
             (jnp.zeros_like(pk.cell), jnp.full_like(pk.cell,
                                                     nions_nt - 1)))
         nt_ion = jnp.clip(ntlo, 0, params.nt_target_level.shape[0] - 1)
@@ -653,7 +721,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                         jnp.where(below, hi_i, mid))
 
             exclo, _ = jax.lax.fori_loop(
-                0, 12, exc_body,
+                0, _nbits(nexc), exc_body,
                 (jnp.zeros_like(pk.cell),
                  jnp.full_like(pk.cell, nexc - 1)))
             exc_upper = tables["nt_exc_upper"][
@@ -749,7 +817,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                     jnp.where(below, hi_i, mid))
 
         lo_i, hi_i = jax.lax.fori_loop(
-            0, 20, bs_body, (span_s, span_e - 1))
+            0, _nbits(params.line_nu.shape[0]), bs_body,
+            (span_s, span_e - 1))
         k_pos = jnp.clip(lo_i, span_s, span_e - 1)
         k_line = jnp.where(is_up, params.ma_bylo_perm[k_pos],
                            params.ma_byup_perm[k_pos])
@@ -785,7 +854,12 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # radiative recombination -> r-packet at a continuum frequency
         # (do_macroatom_radrecomb, macroatom.cc:298-380)
         Te_ma = tables["Te"][mgi]
-        nu_rec = sample_recomb_nu(k_cont, Te_ma, u[:, 6], params)
+        if "recomb_cum" in tables:
+            nu_rec = sample_recomb_nu_table(k_cont, mgi, u[:, 6],
+                                            params,
+                                            tables["recomb_cum"])
+        else:
+            nu_rec = sample_recomb_nu(k_cont, Te_ma, u[:, 6], params)
         upd(ma_radrec, ptype=TYPE_RPKT, nu_cmf=nu_rec,
             nu_rf=nu_rec / dopp_ma, e_rf=pk.e_cmf / dopp_ma,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
@@ -910,7 +984,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                         jnp.where(below, hi_i, mid))
 
             klo, _ = jax.lax.fori_loop(
-                0, 20, kbs_body,
+                0, _nbits(width), kbs_body,
                 (jnp.zeros_like(pk.cell),
                  jnp.full_like(pk.cell, width - 1)))
             return jnp.clip(klo, 0, width - 1)
@@ -927,9 +1001,14 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # fb emission: select the continuum, sample nu from its
         # recombination emissivity (kpkt.cc:612-695)
         k_fb_cont = ksel(tables["kp_w_fb"], ncont_k, k_fb)
-        nu_fb = sample_recomb_nu(
-            jnp.clip(k_fb_cont, 0, params.cont_nu_edge.shape[0] - 1),
-            Te, u[:, 6], params)
+        k_fb_clip = jnp.clip(k_fb_cont, 0,
+                             params.cont_nu_edge.shape[0] - 1)
+        if "recomb_cum" in tables:
+            nu_fb = sample_recomb_nu_table(k_fb_clip, mgi, u[:, 6],
+                                           params,
+                                           tables["recomb_cum"])
+        else:
+            nu_fb = sample_recomb_nu(k_fb_clip, Te, u[:, 6], params)
         upd(k_fb, ptype=TYPE_RPKT, nu_cmf=nu_fb, nu_rf=nu_fb / dopp_k,
             e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
             last_cross=geo.BOUNDARY_NONE, em_time=t_k,
@@ -1050,11 +1129,9 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
         # next candidate line (closest_transition, rpkt.cc:26-65):
         # trust the stored index; re-sync by binary search when flagged
-        # first line with nu < nu_cmf in the descending-nu line list:
-        # count lines above (compare-reduce; see searchsorted_cmp)
-        j_sync = jnp.sum((params.line_nu[None, :]
-                          > pk.nu_cmf[:, None]).astype(jnp.int32),
-                         axis=1)
+        # first line with nu < nu_cmf in the descending-nu line list
+        j_sync = bisect_count_gt_desc(params.line_nu, pk.nu_cmf,
+                                      nlines)
         j0 = jnp.where(pk.next_trans >= 0, pk.next_trans, j_sync)
 
         # continuum opacity: Thomson + free-free (calculate_kappa_ff,
@@ -1079,6 +1156,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
         dist_limit = jnp.minimum(sdist, tdist)
         WK_WALKING, WK_CONT, WK_BB, WK_LIMIT = 0, 1, 2, 3
+        use_cum_walk = ("line_taucum" in tables) and not relativistic
 
         def walk_body(_, st):
             jw, ldist_prev, tau_acc, kind, ev_dist, ev_line = st
@@ -1134,17 +1212,94 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             ldist_prev = jnp.where(passed, ldist_j, ldist_prev)
             return (jw, ldist_prev, tau_acc, kind, ev_dist, ev_line)
 
-        zf = jnp.zeros_like(t_b)
-        walk = jax.lax.fori_loop(
-            0, LWALK, walk_body,
-            (j0, zf, zf, jnp.zeros_like(pk.cell), zf + BIG, j0))
-        j_new, walk_ldist, _, walk_kind, walk_dist, walk_line = walk
+        if use_cum_walk:
+            # ---- analytic Sobolev walk: resolve the WHOLE line walk
+            # in one binary search over the per-cell cumulative line
+            # optical depth. Key identity (non-relativistic homologous
+            # flow): the resonance time factor is exactly
+            # t(s_k) = t_b * nu_cmf / nu_k, so the accumulated Sobolev
+            # depth of lines (j0..j) is t_b * nu_cmf * (D[j] - D[j0])
+            # with the per-timestep table D[cell, j] = cumsum over the
+            # frequency-sorted list of tau_base[cell, k] / nu_k.
+            # A(j) = chi_cont * ldist(j) + line part is monotone in j,
+            # so the first j with A(j) >= tau_budget locates the event
+            # in O(log nlines) gathers — replacing the LWALK-per-
+            # iteration stepping walk (and its O(events * nlines/LWALK)
+            # iteration count) with exactly one iteration per physical
+            # event. Physics identical to get_event (rpkt.cc:67-328).
+            D_tbl = tables["line_taucum"]      # [nmodel+1, nlines+1]
+            tau_tbl = tables["line_tau_base"]  # [nmodel+1, nlines]
+            t_nu = t_b * pk.nu_cmf
+            j0c = jnp.clip(j0, 0, nlines)
+            D_flat = D_tbl.reshape(-1)
+            D_base = mgi * (nlines + 1)
+            D0 = D_flat[D_base + j0c]
 
-        # WALKING after LWALK lines: plain move to the last passed line
-        kexh = walk_kind == WK_WALKING
-        edist_det = jnp.where(kexh, jnp.maximum(walk_ldist, 1e-7),
-                              jnp.where(walk_kind == WK_LIMIT, BIG,
-                                        walk_dist))
+            def ldist_of(j):
+                nu_j = params.line_nu[jnp.clip(j, 0, nlines - 1)]
+                ld = t_b * (pk.nu_cmf / jnp.maximum(nu_j, 1.0) - 1.0)
+                return jnp.where(j >= nlines, BIG,
+                                 jnp.maximum(ld, 0.0))
+
+            def A_of(j):
+                a = (chi_cont * ldist_of(j)
+                     + t_nu * (D_flat[D_base + jnp.clip(j, 0, nlines)]
+                               - D0))
+                return jnp.where(j >= nlines, BIG, a)
+
+            def sbody(_, lh):
+                lo_i, hi_i = lh
+                mid = (lo_i + hi_i) // 2
+                pred = A_of(mid) < tau_next
+                return (jnp.where(pred, mid + 1, lo_i),
+                        jnp.where(pred, hi_i, mid))
+
+            jc_e, _ = jax.lax.fori_loop(
+                0, _nbits(nlines + 1), sbody,
+                (j0c, jnp.full_like(j0c, nlines)))
+
+            has_prev = jc_e > j0c
+            jprev = jnp.clip(jc_e - 1, 0, nlines - 1)
+            nu_prev = jnp.maximum(params.line_nu[jprev], 1.0)
+            tau_prev = (tau_tbl.reshape(-1)[mgi * nlines + jprev]
+                        * t_nu / nu_prev)
+            A_prev = A_of(jprev)
+            # continuum crossing within the stretch before line jc, or
+            # Sobolev absorption AT line jc-1 (the budget is exhausted
+            # inside that line's depth)
+            bb = has_prev & (A_prev + tau_prev >= tau_next)
+            s_bb = ldist_of(jprev)
+            tau_after = jnp.where(has_prev, A_prev + tau_prev, 0.0)
+            s_start = jnp.where(has_prev, s_bb, 0.0)
+            s_cont = s_start + (tau_next - tau_after) / chi_cont
+            ev_dist_c = jnp.where(bb, s_bb, jnp.maximum(s_cont, 0.0))
+            hit = ev_dist_c <= dist_limit
+            # lines passed up to the limit (boundary/time lanes):
+            # ldist(k) <= dist_limit  <=>  nu_k >= nu_lim
+            nu_lim = pk.nu_cmf * t_b / jnp.maximum(
+                t_b + dist_limit, 1e-30)
+            j_lim = jnp.maximum(
+                bisect_count_gt_desc(params.line_nu, nu_lim, nlines),
+                j0c)
+            walk_kind = jnp.where(hit & bb, WK_BB,
+                                  jnp.where(hit, WK_CONT, WK_LIMIT))
+            walk_line = jprev
+            j_new = jnp.where(hit, jc_e, j_lim)
+            kexh = jnp.zeros_like(m_det)
+            edist_det = jnp.where(hit, ev_dist_c, BIG)
+        else:
+            zf = jnp.zeros_like(t_b)
+            walk = jax.lax.fori_loop(
+                0, LWALK, walk_body,
+                (j0, zf, zf, jnp.zeros_like(pk.cell), zf + BIG, j0))
+            j_new, walk_ldist, _, walk_kind, walk_dist, walk_line = walk
+
+            # WALKING after LWALK lines: plain move to the last passed
+            # line
+            kexh = walk_kind == WK_WALKING
+            edist_det = jnp.where(kexh, jnp.maximum(walk_ldist, 1e-7),
+                                  jnp.where(walk_kind == WK_LIMIT, BIG,
+                                            walk_dist))
         edist = jnp.where(m_det, edist_det, edist)
     else:
         m_det = jnp.zeros_like(m_rpkt)
@@ -1432,7 +1587,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                     jnp.where(below, hi_i, mid))
 
         bflo, _ = jax.lax.fori_loop(
-            0, 18, bfs_body,
+            0, _nbits(ncont_b), bfs_body,
             (jnp.zeros_like(pk.cell), jnp.full_like(pk.cell,
                                                     ncont_b - 1)))
         bf_cont = jnp.clip(bflo, 0,

@@ -1,48 +1,54 @@
 """Benchmark: packet-events/s/chip on the classicmode workload.
 
-Prints ONE JSON line:
+Prints JSON lines of the form
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+progressively: the grey-kernel number is printed as soon as it is
+measured (a floor that is always recorded), then the detailed
+classicmode number replaces it as the final line when that stage
+succeeds. Every stage runs in a subprocess under a hard timeout so a
+wedged TPU tunnel can never prevent a JSON line from being emitted
+(the round-2 failure mode: three in-process attempts with 120 s sleeps
+timed out the whole harness, VERDICT.md Weak #1).
 
 "Events" counts transport-kernel work the same way the reference's
 stats counters do (stats.h:48-84): electron scatters + cell crossings +
 interactions + pellet decays.
 
-vs_baseline compares against the REFERENCE binary measured on this
-host (refbuild/ spherical classicmode run, 15000 packets; counters
-parsed from its own per-timestep log by tools/measure_reference.py):
-  events_per_s_optimistic   = 1.386e6  (update_packets wall time only)
+vs_baseline for BOTH configs compares against the REFERENCE sn3d binary
+measured on this host (refbuild/ spherical classicmode run, 15000
+packets; counters parsed from its own per-timestep log by
+tools/measure_reference.py):
   events_per_s_conservative = 7.623e5  (incl. grid solve + output)
-The artis_tpu number measured here includes the grid solve + table
-build, so the conservative figure is the apples-to-apples baseline.
-
-BENCH_CONFIG=grey selects the round-1 grey benchmark (baseline: the
-same engine on the host CPU, tools/measure_cpu_baseline.py).
+The artis_tpu numbers include the grid solve + table build, so the
+conservative figure is the apples-to-apples baseline.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-
-import jax
-import jax.numpy as jnp
-import numpy as np
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 # reference sn3d (refbuild classic_sph run, this host, 2026-08-17):
 # 60,983,488 events over 36 timesteps; tools/measure_reference.py
 REF_EVENTS_PER_S = 7.623e5  # conservative (total wall time)
-REF_EVENTS_PER_S_OPTIMISTIC = 1.386e6
 
-# host-CPU baseline for the grey config (round 1, 4-vCPU host,
-# npkts=200k, 24 shells; tools/measure_cpu_baseline.py)
-BENCH_BASELINE_CPU_EVENTS_PER_S = 4.936e5
+CLASSIC_DIR = os.path.join(HERE, "refbuild", "run", "classic_sph")
 
-CLASSIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "refbuild", "run", "classic_sph")
+
+def _setup_jax(force_cpu=False):
+    import jax
+    # jax is pre-imported at interpreter start in this environment, so
+    # os.environ settings are too late — set the config directly
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    return jax
 
 
 def _events(d):
@@ -50,11 +56,30 @@ def _events(d):
             + d["pellet_decays"])
 
 
-def run_bench_classic():
+def _run_sim_bench(sim, npkts, label, nsteps=3):
+    # timestep 0 includes compilation
+    sim.advance_one_timestep(checkpoint=False, verbose=False)
+    t0 = time.time()
+    events = 0
+    for _ in range(nsteps):
+        sim.advance_one_timestep(checkpoint=False, verbose=False)
+        events += _events(sim.dep_log[-1])
+    eps = events / (time.time() - t0)
+    return {
+        "metric": f"packet-events/s/chip ({label}, {npkts} packets, "
+                  "vs reference sn3d on host)",
+        "value": round(eps, 1),
+        "unit": "events/s",
+        "vs_baseline": round(eps / REF_EVENTS_PER_S, 3),
+    }
+
+
+def stage_detailed(force_cpu=False):
     """Detailed-mode classicmode: the reference fixture model +
     synthetic atomic dataset, full opacity_case 4 kernel."""
-    from artis_tpu import (SimConfig, Simulation, read_input_txt,
-                           read_1d_model, read_abundances)
+    _setup_jax(force_cpu)
+    from artis_tpu import (Simulation, read_input_txt, read_1d_model,
+                           read_abundances)
     from artis_tpu.atomic import read_atomic_data
     from artis_tpu.phixs import read_phixs_data
 
@@ -69,25 +94,11 @@ def run_bench_classic():
     atomic = read_atomic_data(CLASSIC_DIR)
     phixs = read_phixs_data(CLASSIC_DIR, atomic)
     sim = Simulation(model, cfg, atomic_data=atomic, phixs_data=phixs)
-
-    # timestep 0 includes compilation
-    sim.advance_one_timestep(checkpoint=False, verbose=False)
-    t0 = time.time()
-    events = 0
-    for _ in range(3):
-        sim.advance_one_timestep(checkpoint=False, verbose=False)
-        events += _events(sim.dep_log[-1])
-    eps = events / (time.time() - t0)
-    return {
-        "metric": ("packet-events/s/chip (classicmode detailed loop, "
-                   f"{npkts} packets, vs reference sn3d on host)"),
-        "value": round(eps, 1),
-        "unit": "events/s",
-        "vs_baseline": round(eps / REF_EVENTS_PER_S, 3),
-    }
+    return _run_sim_bench(sim, npkts, "classicmode detailed loop")
 
 
-def run_bench_grey():
+def stage_grey(force_cpu=False):
+    _setup_jax(force_cpu)
     from artis_tpu import SimConfig, Simulation, make_toy_1d_model
 
     npkts = int(os.environ.get("BENCH_NPKTS", 500_000))
@@ -95,64 +106,116 @@ def run_bench_grey():
                     tmax_days=30.0, ftstep=12, opacity_case=0, seed=5)
     model = make_toy_1d_model(nshells=24, tmin=cfg.tmin)
     sim = Simulation(model, cfg)
-    sim.advance_one_timestep(checkpoint=False, verbose=False)
-    t0 = time.time()
-    events = 0
-    for _ in range(3):
-        sim.advance_one_timestep(checkpoint=False, verbose=False)
-        events += _events(sim.dep_log[-1])
-    eps = events / (time.time() - t0)
-    return {
-        "metric": "packet-events/s/chip (grey rpkt+gamma loop)",
-        "value": round(eps, 1),
-        "unit": "events/s",
-        "vs_baseline": round(eps / BENCH_BASELINE_CPU_EVENTS_PER_S, 3),
-    }
+    return _run_sim_bench(sim, npkts, "grey rpkt+gamma loop")
 
 
-def run_bench():
-    mode = os.environ.get("BENCH_CONFIG", "classic")
-    if mode == "grey" or not os.path.exists(
-            os.path.join(CLASSIC_DIR, "adata.txt")):
-        return run_bench_grey()
-    return run_bench_classic()
+def stage_probe():
+    """Fast TPU health check: tiny matmul must complete."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.ones((256, 256))
+    (x @ x).block_until_ready()
+    print(json.dumps({"ok": True, "device": str(jax.devices()[0])}))
+
+
+STAGES = {"grey": stage_grey, "detailed": stage_detailed}
+
+
+def _child(stage, force_cpu):
+    out = STAGES[stage](force_cpu=force_cpu)
+    if force_cpu:
+        out["metric"] = "CPU-FALLBACK (TPU tunnel down) " + out["metric"]
+    print(json.dumps(out), flush=True)
+
+
+def _run_stage(stage, timeout_s, force_cpu=False, extra_env=None):
+    """Run one stage in a subprocess; return its parsed JSON or None."""
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    argv = [sys.executable, "-u", os.path.abspath(__file__),
+            "--stage", stage] + (["--cpu"] if force_cpu else [])
+    try:
+        res = subprocess.run(argv, capture_output=True, text=True,
+                             timeout=timeout_s, env=env)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench stage {stage}: timeout {timeout_s}s\n")
+        return None
+    for line in reversed(res.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    tail = (res.stderr or "")[-400:]
+    sys.stderr.write(f"bench stage {stage}: rc={res.returncode} "
+                     f"no JSON; stderr tail: {tail}\n")
+    return None
 
 
 def main():
-    # the tunneled TPU occasionally wedges; retry with backoff and a
-    # shrinking problem size so a result is always produced
-    npkts_env = os.environ.get("BENCH_NPKTS")
-    sizes = ([int(npkts_env)] * 3 if npkts_env
-             else [500_000, 250_000, 100_000])
-    last_err = None
-    for attempt, npkts in enumerate(sizes):
-        os.environ["BENCH_NPKTS"] = str(npkts)
-        try:
-            out = run_bench()
-            print(json.dumps(out))
-            return
-        except Exception as e:  # noqa: BLE001
-            last_err = e
-            sys.stderr.write(f"bench attempt {attempt} (npkts={npkts}) "
-                             f"failed: {e}\n")
-            time.sleep(120)
-    # TPU unreachable: fall back to the host CPU so the round still
-    # records a real measurement (clearly labeled as the fallback)
-    try:
-        jax.config.update("jax_platforms", "cpu")
-        os.environ["BENCH_NPKTS"] = "100000"
-        out = run_bench()
-        out["metric"] = "CPU-FALLBACK (TPU tunnel down) " + out["metric"]
-        out["error"] = str(last_err)[:200]
-        print(json.dumps(out))
+    if "--stage" in sys.argv:
+        stage = sys.argv[sys.argv.index("--stage") + 1]
+        if stage == "probe":
+            stage_probe()
+        else:
+            _child(stage, force_cpu="--cpu" in sys.argv)
         return
-    except Exception as e2:  # noqa: BLE001
-        last_err = e2
-    print(json.dumps({
-        "metric": "packet-events/s/chip (classicmode detailed loop)",
-        "value": 0.0, "unit": "events/s", "vs_baseline": 0.0,
-        "error": str(last_err)[:200],
-    }))
+
+    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S",
+                                                  1800))
+    npkts_env = os.environ.get("BENCH_NPKTS")
+
+    # 1. TPU health probe (two quick tries, no long sleeps)
+    tpu_ok = False
+    for _ in range(2):
+        if _run_stage("probe", 150) is not None:
+            tpu_ok = True
+            break
+        time.sleep(10)
+
+    if not tpu_ok:
+        # TPU unreachable: record a CPU measurement immediately so the
+        # round always has a real number, clearly labeled
+        out = _run_stage("grey", 600, force_cpu=True,
+                         extra_env={"BENCH_NPKTS": npkts_env
+                                    or "100000"})
+        print(json.dumps(out if out else {
+            "metric": "packet-events/s/chip (classicmode detailed "
+                      "loop)", "value": 0.0, "unit": "events/s",
+            "vs_baseline": 0.0, "error": "TPU down + CPU fallback "
+            "failed"}), flush=True)
+        return
+
+    # 2. grey floor: fast, known to complete in ~4 min
+    best = None
+    t_left = deadline - time.time()
+    out = _run_stage("grey", min(600, t_left),
+                     extra_env={"BENCH_NPKTS": npkts_env or "500000"})
+    if out:
+        best = out
+        print(json.dumps(out), flush=True)
+
+    # 3. detailed upgrade: try full size, then halve once if it failed
+    for npkts in ([int(npkts_env)] if npkts_env
+                  else [500_000, 250_000]):
+        t_left = deadline - time.time()
+        if t_left < 300:
+            break
+        out = _run_stage("detailed", min(1200, t_left),
+                         extra_env={"BENCH_NPKTS": str(npkts)})
+        if out:
+            best = out
+            print(json.dumps(out), flush=True)
+            break
+
+    if best is None:
+        print(json.dumps({
+            "metric": "packet-events/s/chip (classicmode detailed "
+                      "loop)", "value": 0.0, "unit": "events/s",
+            "vs_baseline": 0.0,
+            "error": "all bench stages failed/timed out"}), flush=True)
 
 
 if __name__ == "__main__":
