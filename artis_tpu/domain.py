@@ -127,6 +127,16 @@ def shard_domain_tables(tables: dict, plan: DomainPlan,
         loc[d] = np.where(inrange, cm - s, ndo1 - 1).astype(np.int32)
     out["cell_mgi"] = jax.device_put(loc, shard)
     specs["cell_mgi"] = P("dd")
+    if "cell_pack" in tables:
+        # the packed per-cell scalar rows carry the model index in
+        # channel 0 — remap it to each device's LOCAL index (other
+        # channels are plain per-cell values, valid everywhere)
+        cpk = np.asarray(tables["cell_pack"])
+        cps = np.broadcast_to(cpk, (D,) + cpk.shape).copy()
+        cps[:, :, 0] = loc
+        out["cell_pack"] = jax.device_put(cps.astype(np.float32),
+                                          shard)
+        specs["cell_pack"] = P("dd")
     out["cell_owner"] = jax.device_put(plan.cell_owner, repl)
     specs["cell_owner"] = P()
     out["dd_rank"] = jax.device_put(np.arange(D, dtype=np.int32),

@@ -53,23 +53,53 @@ from .transport.kernel import (TransportParams, make_planck_table,
 from .units import Units
 
 
-@jax.jit
-def _build_line_walk_tables(nl_pad, taufac_lu, taufac_ul, line_lower,
-                            line_upper, line_nu):
-    """Per-timestep tables for the analytic Sobolev line walk
+def _pack_sel_device(rows_list):
+    """Stack per-timestep cumulative selection rows [nm1, K_i] into
+    the (blk, end) block layout consumed by kernel.cdf_search: the
+    whole CDF selection then costs 1-2 row-gathers per event."""
+    Kmax = max(int(r.shape[1]) for r in rows_list)
+    padded = [jnp.pad(r, ((0, 0), (0, Kmax - r.shape[1])),
+                      mode="edge") for r in rows_list]
+    sel = jnp.stack(padded, axis=1)  # [nm1, G, Kmax]
+    G = len(rows_list)
+    if Kmax <= 128:
+        return sel, None
+    nb = -(-Kmax // 128)
+    selp = jnp.pad(sel, ((0, 0), (0, 0), (0, nb * 128 - Kmax)),
+                   mode="edge")
+    blk = selp.reshape(sel.shape[0], G * nb, 128)
+    end = selp.reshape(sel.shape[0], G, nb, 128)[..., -1]
+    return blk, end
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def _build_line_walk_blocks(nl_pad, taufac_lu, taufac_ul, line_lower,
+                            line_upper, line_nu, *, nb: int):
+    """Per-timestep block tables for the analytic Sobolev line walk
     (kernel.py use_cum_walk): the per-(cell, line) Sobolev depth per
-    unit sim-time and its frequency-ordered cumulative sum weighted by
-    1/nu (so tau accumulated over lines j0..j is
-    t * nu_cmf * (D[j] - D[j0]); see kernel.py for the identity)."""
+    unit sim-time (tau_base) and its frequency-ordered cumulative sum
+    weighted by 1/nu (so tau accumulated over lines j0..j is
+    t * nu_cmf * (D[j] - D[j0]); see kernel.py for the identity),
+    laid out in 128-wide row blocks — on TPU a whole-row gather costs
+    the same as one scalar gather."""
+    ROWW = 128
+    ncells = nl_pad.shape[0]
+    nl = line_nu.shape[0]
     n_l = nl_pad[:, line_lower]
     n_u = nl_pad[:, line_upper]
     base = jnp.maximum(taufac_lu[None, :] * n_l
                        - taufac_ul[None, :] * n_u, 0.0)
     dcol = base / jnp.maximum(line_nu, 1.0)[None, :]
     D = jnp.concatenate(
-        [jnp.zeros((nl_pad.shape[0], 1), jnp.float32),
-         jnp.cumsum(dcol, axis=1)], axis=1)
-    return base.astype(jnp.float32), D.astype(jnp.float32)
+        [jnp.zeros((ncells, 1), jnp.float32),
+         jnp.cumsum(dcol, axis=1)], axis=1)  # [ncells, nl+1]
+    P = nb * ROWW
+    D_blk = jnp.pad(D, ((0, 0), (0, P - (nl + 1))),
+                    mode="edge").reshape(ncells, nb, ROWW)
+    tau_blk = jnp.pad(base, ((0, 0), (0, P - nl))).reshape(
+        ncells, nb, ROWW).astype(jnp.float32)
+    return (D_blk.astype(jnp.float32), tau_blk,
+            D_blk[..., -1].astype(jnp.float32), tau_blk[..., -1])
 
 
 @jax.jit
@@ -358,6 +388,44 @@ class Simulation:
             cont_edge = jnp.asarray(ph.cont_nu_edge, f32)
             cont_lvl = jnp.asarray(ph.cont_level, jnp.int32)
             cont_uplvl = jnp.asarray(ph.cont_upperlevel, jnp.int32)
+            # static macro-atom row-packs (kernel.py phase A2b): one
+            # row-gather each replaces 5-8 scalar gathers per event
+            ms = self._ma_static
+            nlev_t = ad.nlevels_total
+            span_np = np.zeros((nlev_t, 8), np.float32)
+            span_np[:, 0] = ms.up_start[:-1]
+            span_np[:, 1] = ms.up_start[1:]
+            span_np[:, 2] = ms.lo_start[:-1]
+            span_np[:, 3] = ms.lo_start[1:]
+            span_np[:, 4] = ms.target_start[:-1]
+            span_np[:, 5] = ms.target_start[1:]
+            span_np[:, 6] = ms.level_cont
+            span_np[:, 7] = np.where(
+                ms.level_cont >= 0,
+                np.asarray(ph.cont_upperlevel)[
+                    np.clip(ms.level_cont, 0, None)], 0)
+            bylo = np.clip(ms.bylo_perm, 0, ad.nlines - 1)
+            byup = np.clip(ms.byup_perm, 0, ad.nlines - 1)
+            ltgt_np = np.stack(
+                [bylo, byup,
+                 ad.line_lower[bylo], ad.line_upper[bylo],
+                 ad.line_lower[byup], ad.line_upper[byup],
+                 ad.line_nu[bylo], ad.line_nu[byup]],
+                axis=1).astype(np.float32)
+            bt = np.clip(ms.bytarget_perm, 0, max(ph.ncont - 1, 0))
+            ctgt_np = np.stack(
+                [bt, np.asarray(ph.cont_level)[bt],
+                 np.asarray(ph.cont_upperlevel)[bt],
+                 np.asarray(ph.cont_nu_edge)[bt]],
+                axis=1).astype(np.float32)
+            ln_np = np.stack(
+                [ad.line_nu, ad.line_lower, ad.line_upper,
+                 np.zeros(ad.nlines)], axis=1).astype(np.float32)
+            cn_np = np.stack(
+                [np.asarray(ph.cont_nu_edge),
+                 np.asarray(ph.cont_level),
+                 np.asarray(ph.cont_upperlevel),
+                 np.zeros(ph.ncont)], axis=1).astype(np.float32)
             cont_sigma = jnp.asarray(ph.cont_sigma, f32)
             cont_nuinc = f32(ph.nuincrement)
             # NT ionisation target: ground level of the next ion up;
@@ -398,6 +466,11 @@ class Simulation:
             cont_sigma = jnp.zeros((1, 2), f32)
             cont_nuinc = f32(0.1)
             nt_target = jnp.full(1, -1, jnp.int32)
+            span_np = np.zeros((1, 8), np.float32)
+            ltgt_np = np.zeros((1, 8), np.float32)
+            ctgt_np = np.zeros((1, 4), np.float32)
+            ln_np = np.zeros((1, 4), np.float32)
+            cn_np = np.zeros((1, 4), np.float32)
         return TransportParams(
             x_unit=f32(self.units.x_unit),
             nu_min_r=f32(cfg.nu_min_r), nu_max_r=f32(cfg.nu_max_r),
@@ -450,6 +523,11 @@ class Simulation:
             vpkt_tau_max=f32(cfg.vpkt_tau_max),
             instant_deposit=jnp.bool_(cfg.instant_particle_deposition),
             tmin_seconds=f32(self.units.tmin),
+            ma_span_pack=jnp.asarray(span_np),
+            ma_ltgt_pack=jnp.asarray(ltgt_np),
+            ma_ctgt_pack=jnp.asarray(ctgt_np),
+            ln_pack=jnp.asarray(ln_np),
+            cn_pack=jnp.asarray(cn_np),
         )
 
     def _tables(self, tmid: Optional[float] = None) -> dict:
@@ -628,11 +706,17 @@ class Simulation:
             jax.block_until_ready(mats["proc_cum"])
             self._t_tables_ma = _time.time() - t_tab0
             tables["ma_proc_cum"] = mats["proc_cum"]
-            tables["ma_w_raddeexc"] = mats["w_raddeexc"]
-            tables["ma_w_downsame"] = mats["w_downsame"]
-            tables["ma_w_upsame"] = mats["w_upsame"]
-            tables["ma_w_radrecomb"] = mats["w_radrecomb"]
-            tables["ma_w_downlower"] = mats["w_downlower"]
+            # merged 5-group macro-atom selection pack (kernel.py
+            # phase A2b packed path): raddeexc/downsame/upsame over
+            # the byup/bylo CSR orders + radrecomb/downlower over the
+            # bytarget order, one cdf_search per event
+            mblk, mend = _pack_sel_device(
+                [mats["w_raddeexc"], mats["w_downsame"],
+                 mats["w_upsame"], mats["w_radrecomb"],
+                 mats["w_downlower"]])
+            tables["ma_sel_blk"] = mblk
+            if mend is not None:
+                tables["ma_sel_end"] = mend
             tables["kp_w_collexc"] = mats["w_kcollexc"]
 
             # k-packet fb / collisional-ionisation cooling rows
@@ -658,6 +742,14 @@ class Simulation:
                 pad(np.cumsum(w_fb, axis=1).astype(np.float32)))
             tables["kp_w_collion"] = jnp.asarray(
                 pad(np.cumsum(w_ci, axis=1).astype(np.float32)))
+            # merged 3-group k-packet channel-target pack (kernel.py
+            # phase A3 packed path)
+            kblk, kendp = _pack_sel_device(
+                [tables["kp_w_collexc"], tables["kp_w_fb"],
+                 tables["kp_w_collion"]])
+            tables["kp_sel_blk"] = kblk
+            if kendp is not None:
+                tables["kp_sel_end"] = kendp
 
             if self.cfg.vpkt_on:
                 # binned line expansion opacity for the vpkt ray-march
@@ -679,18 +771,31 @@ class Simulation:
             tables["chi_bf"] = jnp.asarray(pad(bft["chi_bf"]))
             tables["bf_sel_cum"] = jnp.asarray(pad(bft["bf_sel_cum"]))
 
-            # analytic-line-walk tables (kernel.py use_cum_walk): the
-            # per-cell cumulative Sobolev depth lets the kernel resolve
-            # a whole inter-event line walk with one binary search
+            # analytic-line-walk block tables (kernel.py
+            # use_cum_walk): the per-cell cumulative Sobolev depth
+            # lets the kernel resolve a whole inter-event line walk
+            # with ~6 row-gathers
             if not self.cfg.use_relativistic_doppler:
-                base_t, D_t = _build_line_walk_tables(
-                    jnp.asarray(pad(levelpops), jnp.float32),
-                    self.params.line_taufac_lu,
-                    self.params.line_taufac_ul,
-                    self.params.line_lower, self.params.line_upper,
-                    self.params.line_nu)
-                tables["line_tau_base"] = base_t
-                tables["line_taucum"] = D_t
+                nl_lines = self.params.line_nu.shape[0]
+                nb_w = -(-(nl_lines + 1) // 128)
+                D_blk, tau_blk, D_end, tau_end = \
+                    _build_line_walk_blocks(
+                        jnp.asarray(pad(levelpops), jnp.float32),
+                        self.params.line_taufac_lu,
+                        self.params.line_taufac_ul,
+                        self.params.line_lower,
+                        self.params.line_upper,
+                        self.params.line_nu, nb=nb_w)
+                tables["lw_D_blk"] = D_blk
+                tables["lw_tau_blk"] = tau_blk
+                tables["lw_D_end"] = D_end
+                tables["lw_tau_end"] = tau_end
+                if not hasattr(self, "_lw_nu_blk"):
+                    nu_np = np.asarray(self.params.line_nu, np.float32)
+                    self._lw_nu_blk = jnp.asarray(np.pad(
+                        nu_np, (0, nb_w * 128 - nl_lines)
+                    ).reshape(nb_w, 128))
+                tables["lw_nu_blk"] = self._lw_nu_blk
             # per-(cell, cont) cumulative recombination emissivity for
             # O(log NP) continuum-nu sampling; gated so the table
             # cannot dominate HBM at extreme cell counts
@@ -751,8 +856,21 @@ class Simulation:
                     tables["nt_exc_upper"] = jnp.asarray(
                         ad.line_upper[self._sf_solver.exc_lines]
                         .astype(np.int32))
+            tables["cell_pack"] = self._cell_pack(tables)
             return tables
-        return grid_device_tables(self.grid, self.cfg, self.units)
+        tables = grid_device_tables(self.grid, self.cfg, self.units)
+        tables["cell_pack"] = self._cell_pack(tables)
+        return tables
+
+    def _cell_pack(self, tables: dict):
+        """Packed per-propagation-cell scalar rows (kernel.py CP_*):
+        one row-gather per kernel iteration replaces ~15 scalar
+        gathers — the dominant per-iteration cost on TPU."""
+        from .transport.kernel import build_cell_pack
+        return jnp.asarray(build_cell_pack(
+            tables, np.asarray(self.params.planck_x),
+            np.asarray(self.params.planck_cdf),
+            self.cfg.nu_min_r, self.cfg.nu_max_r))
 
     # -- main loop ----------------------------------------------------
     def run(self, until: Optional[int] = None, checkpoint: bool = True,

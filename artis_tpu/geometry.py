@@ -126,7 +126,8 @@ def scatter_dir(dir_in, cos_theta, u_phi):
 # ---------------------------------------------------------------------------
 
 def boundary_cross_uniform(pos, dirvec, t, cell, last_cross, ncoord,
-                           pos_min_table, wid):
+                           pos_min_table, wid, cmin_pre=None,
+                           wid_pre=None):
     """Distance to the next cell boundary on the uniform 3D grid
     (boundary.cc:101-330, GRID_UNIFORM branch).
 
@@ -143,8 +144,11 @@ def boundary_cross_uniform(pos, dirvec, t, cell, last_cross, ncoord,
     cellpt = jnp.stack([ix, iy, iz], axis=-1)  # [N,3]
     strides = jnp.array([1, ncoord, ncoord * ncoord], dtype=jnp.int32)
 
-    cmin = pos_min_table[cell]  # [N,3] at tmin
-    w = wid[cell][..., None]
+    # prefetched per-lane geometry (from the packed cell row) avoids
+    # two per-iteration gathers
+    cmin = (cmin_pre if cmin_pre is not None
+            else pos_min_table[cell])  # [N,3] at tmin
+    w = (wid_pre if wid_pre is not None else wid[cell])[..., None]
     cmax = cmin + w
 
     # cell_boundary codes per axis
@@ -251,7 +255,8 @@ def boundary_cross_uniform(pos, dirvec, t, cell, last_cross, ncoord,
 
 
 def boundary_cross_spherical(pos, dirvec, t, cell, last_cross, ncells,
-                             r_min_table, wid):
+                             r_min_table, wid, rmin_pre=None,
+                             wid_pre=None):
     """Distance to the next shell boundary on the 1D spherical grid
     (get_shellcrossdist, boundary.cc:14-99 + the SPHERICAL1D branch of
     boundary_cross).
@@ -260,8 +265,9 @@ def boundary_cross_spherical(pos, dirvec, t, cell, last_cross, ncells,
     distance s along the ray solves |pos + s*dir|^2 = (R0*(t + s))^2
     with c == 1 (dir is a unit vector).
     """
-    r_in0 = r_min_table[cell]  # inner shell radius at tmin
-    r_out0 = r_in0 + wid[cell]
+    r_in0 = (rmin_pre if rmin_pre is not None
+             else r_min_table[cell])  # inner shell radius at tmin
+    r_out0 = r_in0 + (wid_pre if wid_pre is not None else wid[cell])
     tstart = t
     big = jnp.float32(1e30)
 

@@ -124,9 +124,26 @@ class TransportParams:
         default_factory=lambda: jnp.bool_(True))
     tmin_seconds: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.float32(1.0))
+    # static row-packs for the macro-atom machine (one row-gather
+    # replaces 5-8 scalar gathers; see _event_step phase A2b):
+    # per-level spans+ionisation target, per-CSR-position line
+    # constants (both orderings), per-CSR-position continuum constants
+    ma_span_pack: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 8), jnp.float32))
+    ma_ltgt_pack: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 8), jnp.float32))
+    ma_ctgt_pack: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 4), jnp.float32))
+    # natural-order line/continuum constant rows: (nu, lower, upper, 0)
+    # and (nu_edge, cont_level, cont_upperlevel, 0) — one row-gather
+    # where the kernel previously paid 1-3 scalar gathers
+    ln_pack: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 4), jnp.float32))
+    cn_pack: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 4), jnp.float32))
 
 
-def make_planck_table(npts: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+def make_planck_table(npts: int = 256) -> tuple[np.ndarray, np.ndarray]:
     """CDF of the Planck distribution x^3/(e^x - 1) on a log x grid.
 
     Used to sample thermal emission frequencies by inverse transform —
@@ -294,6 +311,137 @@ def sigma_pairprod_cgs(nu_cmf, rho, ffegrp, gamma_grey):
 # thermal (Planck) frequency sampling
 # ---------------------------------------------------------------------------
 
+ROWW = 128  # TPU-native gather row width: fetching a whole <=128-wide
+#             row costs the same as one scalar gather (lane tile), so
+#             every table the kernel touches is laid out in rows
+
+
+def pack_cdf(arr, G: int):
+    """Host/build-time packing of cumulative rows [nm1, G, K] into the
+    row-gatherable block layout used by :func:`cdf_search`:
+      blk [nm1, G*nb, ROWW]  (padded with the row total)
+      end [nm1, G, nb]       (block-end partial sums; None if K<=ROWW)
+    Leading dim stays nm1 so domain decomposition shards it."""
+    import numpy as _np
+    a = _np.asarray(arr, _np.float32)
+    nm1, g, K = a.shape
+    assert g == G
+    if K <= ROWW:
+        return a, None
+    nb = -(-K // ROWW)
+    pad = _np.pad(a, ((0, 0), (0, 0), (0, nb * ROWW - K)),
+                  mode="edge")
+    blk = pad.reshape(nm1, G * nb, ROWW)
+    end = pad.reshape(nm1, G, nb, ROWW)[..., -1]
+    return blk, end
+
+
+def cdf_search(blk, end, mgi, g, target, *, G: int, K: int):
+    """First index i in [0, K) with cum_row[i] >= target, for the
+    cumulative rows packed by :func:`pack_cdf`; row = (mgi, g).
+    One row-gather for K <= 128, two otherwise — replaces per-lane
+    binary searches (each step of which costs a full gather on TPU).
+    """
+    nm1 = blk.shape[0]
+    if end is None:
+        rows = blk.reshape(nm1 * G, K)[mgi * G + g]
+        idx = jnp.sum((rows < target[:, None]).astype(jnp.int32),
+                      axis=1)
+        return jnp.clip(idx, 0, K - 1)
+    nb = end.shape[2]
+    ends = end.reshape(nm1 * G, nb)[mgi * G + g]  # [N, nb]
+    b = jnp.sum((ends < target[:, None]).astype(jnp.int32), axis=1)
+    b = jnp.clip(b, 0, nb - 1)
+    rows = blk.reshape(nm1 * G * nb, ROWW)[(mgi * G + g) * nb + b]
+    off = jnp.sum((rows < target[:, None]).astype(jnp.int32), axis=1)
+    return jnp.clip(b * ROWW + jnp.clip(off, 0, ROWW - 1), 0, K - 1)
+
+
+def bin_fetch(tbl2, mgi, b):
+    """tbl2[mgi, b] per lane for a [R, K] table with per-lane (row,
+    bin) indices: one row-gather over 128-wide blocks + an in-register
+    one-hot extract, instead of a scalar gather. K must be a multiple
+    of 128 when K > 128."""
+    R, K = tbl2.shape
+    if K <= ROWW:
+        return onehot_extract(tbl2[mgi], b)
+    nbk = K // ROWW
+    rows = tbl2.reshape(R * nbk, ROWW)[
+        mgi * nbk + jnp.clip(b // ROWW, 0, nbk - 1)]
+    return onehot_extract(rows, b % ROWW)
+
+
+def onehot_extract(rows, idx):
+    """rows [N, W], idx [N] -> rows[n, idx[n]] without a gather (the
+    one-hot multiply-reduce stays in registers)."""
+    W = rows.shape[1]
+    oh = (jnp.arange(W, dtype=jnp.int32)[None, :] == idx[:, None])
+    return jnp.sum(jnp.where(oh, rows, 0.0), axis=1)
+
+
+# cell_pack channel layout: ALL per-cell scalars the kernel needs,
+# packed into one row so the whole set costs a single row-gather per
+# iteration (the TPU gather cost model: one <=128-wide row == one
+# scalar gather; see tools/microbench_step.py / opbench findings)
+CP_MGI, CP_RHO, CP_FFE, CP_NNETOT_SIG, CP_CHI_GREY, CP_THICK, \
+    CP_TE, CP_CHI_TH, CP_KFF, CP_COOL_FF, CP_COOL_FB, CP_COOL_EXC, \
+    CP_COOL_ION, CP_NT_FI, CP_NT_FE, CP_NT_TOTW, CP_PLANCK_CLO, \
+    CP_PLANCK_CHI, CP_POSMIN_X, CP_POSMIN_Y, CP_POSMIN_Z, CP_WID \
+    = range(22)
+CP_W = 24
+
+
+def build_cell_pack(tables: dict, planck_x, planck_cdf,
+                    nu_min_r: float, nu_max_r: float) -> np.ndarray:
+    """[ncells_prop, CP_W] f32 per-PROPAGATION-cell scalar rows (host
+    build, once per timestep). Channel 0 is the model-grid index (the
+    empty-cell sentinel row nmodel for empty cells); the rest are the
+    per-cell scalars the kernel previously fetched with ~15 separate
+    gathers per iteration."""
+    cm = np.asarray(tables["cell_mgi"])
+    n = len(cm)
+    cols = np.zeros((n, CP_W), np.float32)
+    cols[:, CP_MGI] = cm
+
+    def bymgi(key, col):
+        if key in tables:
+            cols[:, col] = np.asarray(tables[key], np.float32)[cm]
+
+    bymgi("rho", CP_RHO)
+    bymgi("ffegrp", CP_FFE)
+    bymgi("nnetot_sig", CP_NNETOT_SIG)
+    bymgi("chi_grey", CP_CHI_GREY)
+    bymgi("thick", CP_THICK)
+    bymgi("Te", CP_TE)
+    bymgi("chi_thomson", CP_CHI_TH)
+    bymgi("kff_base", CP_KFF)
+    bymgi("kp_cool_ff", CP_COOL_FF)
+    bymgi("nt_frac_ion", CP_NT_FI)
+    bymgi("nt_frac_exc", CP_NT_FE)
+    for key, col in (("kp_w_fb", CP_COOL_FB),
+                     ("kp_w_collexc", CP_COOL_EXC),
+                     ("kp_w_collion", CP_COOL_ION),
+                     ("nt_ion_cum", CP_NT_TOTW)):
+        if key in tables:
+            cols[:, col] = np.asarray(
+                tables[key], np.float32)[cm][:, -1]
+    # per-cell Planck CDF window [c_lo, c_hi] for the cell's Te (the
+    # only T the kernel samples thermal emission at), so per-event
+    # sampling is a single inverse-CDF interp
+    Te = np.maximum(cols[:, CP_TE], 1.0)
+    px = np.asarray(planck_x, np.float64)
+    pc = np.asarray(planck_cdf, np.float64)
+    x_lo = H * nu_min_r / (KB * Te)
+    x_hi = H * nu_max_r / (KB * Te)
+    cols[:, CP_PLANCK_CLO] = np.interp(x_lo, px, pc)
+    cols[:, CP_PLANCK_CHI] = np.interp(x_hi, px, pc)
+    pos_min = np.asarray(tables["pos_min"], np.float32)
+    ndim = pos_min.shape[1]
+    cols[:, CP_POSMIN_X:CP_POSMIN_X + ndim] = pos_min
+    cols[:, CP_WID] = np.asarray(tables["wid"], np.float32)
+    return cols
+
+
 def _nbits(n: int) -> int:
     """Binary-search step count for a table of static size n."""
     import math
@@ -358,19 +506,38 @@ def interp_bs(xq, xs, ys):
     return y0 + w * (y1 - y0)
 
 
-def sample_planck_nu(u, T, params: TransportParams):
+def small_select(idx, *tabs):
+    """Select tab[idx] per lane from SMALL shared tables by one-hot
+    multiply-reduce — a few [N, P] vector ops instead of a gather
+    (each gather costs ~2 ms at megabatch size on TPU)."""
+    P = tabs[0].shape[0]
+    oh = (jnp.arange(P, dtype=jnp.int32)[None, :] == idx[:, None])
+    return tuple(jnp.sum(jnp.where(oh, t[None, :], 0), axis=1)
+                 for t in tabs)
+
+
+def interp_cmp(xq, xs, ys):
+    """Linear interpolation of a small monotone table, gather-free:
+    broadcast compare-reduce for the index, one-hot selects for the
+    bracketing values."""
+    j = jnp.clip(searchsorted_cmp(xs, xq, "right"), 1,
+                 xs.shape[0] - 1)
+    x0, y0 = small_select(j - 1, xs, ys)
+    x1, y1 = small_select(j, xs, ys)
+    w = jnp.clip((xq - x0) / jnp.maximum(x1 - x0, 1e-30), 0.0, 1.0)
+    return y0 + w * (y1 - y0)
+
+
+def sample_planck_nu_cp(u, T, c_lo, c_hi, params: TransportParams):
     """Inverse-CDF Planck sample restricted to [nu_min_r, nu_max_r]
-    (replaces sample_planck, kpkt.cc:428-446)."""
-    xs, cdf = params.planck_x, params.planck_cdf
-    Tsafe = jnp.maximum(T, 1.0)
-    x_lo = H * params.nu_min_r / (KB * Tsafe)
-    x_hi = H * params.nu_max_r / (KB * Tsafe)
-    c_lo = interp_bs(x_lo, xs, cdf)
-    c_hi = interp_bs(x_hi, xs, cdf)
+    (replaces sample_planck, kpkt.cc:428-446). The per-cell CDF window
+    [c_lo, c_hi] comes precomputed from the cell_pack row, so the
+    per-event work is a single small-table interp."""
     target = c_lo + u * (c_hi - c_lo)
-    # invert the CDF (monotone): interp target on (cdf -> log x)
-    logx = interp_bs(target, cdf, jnp.log(xs))
-    nu = jnp.exp(logx) * KB * Tsafe / H
+    logx = interp_cmp(target, params.planck_cdf,
+                      jnp.log(params.planck_x))
+    Tsafe = jnp.maximum(T, 1.0)
+    nu = jnp.exp(logx) * jnp.float32(KB / H) * Tsafe
     return jnp.clip(nu, params.nu_min_r, params.nu_max_r)
 
 
@@ -409,32 +576,22 @@ def sample_recomb_nu(cont_idx, Te, u, params: TransportParams):
 
 
 def sample_recomb_nu_table(cont_idx, mgi, u, params: TransportParams,
-                           recomb_cum):
+                           recomb_cum, nu_edge=None):
     """Table-accelerated variant of :func:`sample_recomb_nu`: the
     per-(cell, continuum) cumulative emissivity over the sigma grid is
-    precomputed once per timestep (driver._tables), so the per-event
-    cost drops from 2*NP sequential gathers to a log2(NP) binary
-    search — the TPU analogue of the reference's per-cell-history
-    cumulative emissivity cache (select_continuum_nu,
-    ratecoeff.cc:628-720)."""
+    precomputed once per timestep (driver._tables) and sampled with a
+    SINGLE row-gather + in-register compare-count — the TPU analogue
+    of the reference's per-cell-history cumulative emissivity cache
+    (select_continuum_nu, ratecoeff.cc:628-720)."""
     NP = recomb_cum.shape[2]
-    flat = recomb_cum.reshape(-1)
-    base = (mgi * recomb_cum.shape[1]
-            + jnp.clip(cont_idx, 0, recomb_cum.shape[1] - 1)) * NP
-    target = u * flat[base + NP - 1]
-    lo = jnp.zeros_like(cont_idx)
-    hi = jnp.full_like(cont_idx, NP - 1)
-
-    def body(_, lh):
-        lo_i, hi_i = lh
-        mid = (lo_i + hi_i) // 2
-        pred = flat[base + mid] < target
-        return (jnp.where(pred, mid + 1, lo_i),
-                jnp.where(pred, hi_i, mid))
-
-    idx, _ = jax.lax.fori_loop(0, _nbits(NP), body, (lo, hi))
-    idx = jnp.clip(idx, 0, NP - 1)
-    nu_edge = params.cont_nu_edge[cont_idx]
+    ncont = recomb_cum.shape[1]
+    cidx = jnp.clip(cont_idx, 0, ncont - 1)
+    rows = recomb_cum.reshape(-1, NP)[mgi * ncont + cidx]  # [N, NP]
+    target = (u * rows[:, NP - 1])[:, None]
+    idx = jnp.clip(jnp.sum((rows < target).astype(jnp.int32), axis=1),
+                   0, NP - 1)
+    if nu_edge is None:
+        nu_edge = params.cont_nu_edge[cont_idx]
     return nu_edge * (1.0 + params.cont_nuinc * idx.astype(jnp.float32))
 
 
@@ -487,7 +644,21 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     N = pk.n
     u = packet_uniforms(base_key, pk.pkt_id, pk.rng_count, salt=0, n=14)
 
-    mgi = tables["cell_mgi"][jnp.clip(pk.cell, 0, tables["cell_mgi"].shape[0] - 1)]
+    cellc = jnp.clip(pk.cell, 0, tables["cell_mgi"].shape[0] - 1)
+    has_cp = "cell_pack" in tables
+    if has_cp:
+        # ONE row-gather fetches every per-cell scalar (see CP_*
+        # channel layout above); per-iteration gathers are the
+        # dominant kernel cost on TPU
+        cp = tables["cell_pack"][cellc]
+        mgi = cp[:, CP_MGI].astype(jnp.int32)
+    else:
+        cp = None
+        mgi = tables["cell_mgi"][cellc]
+
+    def cell_scalar(key, col):
+        return cp[:, col] if has_cp else tables[key][mgi]
+
     nmodel = tables["chi_grey"].shape[0] - 1
     active = ((pk.ptype != TYPE_ESCAPE) & (pk.ptype >= 0)
               & (pk.prop_time < t2))
@@ -614,7 +785,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     # endot = {5e11 alpha, 4e10 beta} MeV/s * rho; a discrete
     # absorption happens at a uniformly-sampled remaining energy
     ts_nt = pk.prop_time
-    rho_nt = tables["rho"][mgi]
+    rho_nt = cell_scalar("rho", CP_RHO)
     endot = jnp.where(is_alpha, 5.0e11, 4.0e10) * jnp.float32(MEV) \
         * jnp.maximum(rho_nt, 1e-30)
     particle_en = jnp.float32(H) * pk.nu_cmf
@@ -650,44 +821,68 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # (do_ntlepton, nonthermal.cc:1883): in grey-approximation
         # cells all NT energy heats — ionisation/excitation channels
         # are gated off
-        lep_thick = tables["thick"][mgi] == 1
-        nt_fi = jnp.where(lep_thick, 0.0, tables["nt_frac_ion"][mgi])
+        lep_thick = cell_scalar("thick", CP_THICK) == 1
+        nt_fi = jnp.where(lep_thick, 0.0,
+                          cell_scalar("nt_frac_ion", CP_NT_FI))
         nions_nt = tables["nt_ion_cum"].shape[1]
         lep_ion = m_lep & (u[:, 8] < nt_fi)
         # select the ion by binary search of the cumulative
         # energy-weighted NT ionisation rates (select_nt_ionization2,
         # nonthermal.cc:1858-1875)
-        tot_w_nt = tables["nt_ion_cum"][mgi, nions_nt - 1]
-        target_nt = jnp.clip(u[:, 9], 0.0, 1.0) * tot_w_nt
+        tot_w_nt = (cp[:, CP_NT_TOTW] if has_cp
+                    else tables["nt_ion_cum"][mgi, nions_nt - 1])
 
-        def nt_body(_, lohi):
-            lo_i, hi_i = lohi
-            mid = (lo_i + hi_i) // 2
-            below = tables["nt_ion_cum"][
-                mgi, jnp.clip(mid, 0, nions_nt - 1)] < target_nt
-            return (jnp.where(below, mid + 1, lo_i),
-                    jnp.where(below, hi_i, mid))
+        def nt_compute(_):
+            # one row-gather over the per-cell cumulative ion weights
+            # (nions <= 128 in practice), one-hot target lookup, and
+            # the optional Auger row — all behind a lax.cond
+            target_nt = jnp.clip(u[:, 9], 0.0, 1.0) * tot_w_nt
+            if nions_nt <= ROWW:
+                rows_nt = tables["nt_ion_cum"][mgi]  # [N, nions]
+                ntlo = jnp.sum((rows_nt < target_nt[:, None])
+                               .astype(jnp.int32), axis=1)
+            else:
+                def nt_body(_, lohi):
+                    lo_i, hi_i = lohi
+                    mid = (lo_i + hi_i) // 2
+                    below = tables["nt_ion_cum"][
+                        mgi, jnp.clip(mid, 0, nions_nt - 1)] \
+                        < target_nt
+                    return (jnp.where(below, mid + 1, lo_i),
+                            jnp.where(below, hi_i, mid))
 
-        ntlo, _ = jax.lax.fori_loop(
-            0, _nbits(nions_nt), nt_body,
-            (jnp.zeros_like(pk.cell), jnp.full_like(pk.cell,
-                                                    nions_nt - 1)))
-        nt_ion = jnp.clip(ntlo, 0, params.nt_target_level.shape[0] - 1)
-        nt_lvl = params.nt_target_level[nt_ion]
-        if "nt_auger_cum" in tables:
-            # Auger multi-electron ionisation: sample the number of
-            # extra ejected electrons from the energy-weighted
-            # probabilities and jump to ion+1+a's ground state
-            # (nt_random_upperion, nonthermal.cc:1657-1676)
-            arow = tables["nt_auger_cum"][mgi, nt_ion]  # [n, NA+1]
-            tot_a = arow[:, -1]
-            targ_a = jnp.clip(u[:, 13], 0.0, 1.0) * tot_a
-            a_sel = jnp.clip(
-                jnp.sum((targ_a[:, None] >= arow).astype(jnp.int32),
-                        axis=1), 0, arow.shape[1] - 1)
-            lvl_auger = tables["nt_target_auger"][nt_ion, a_sel]
-            nt_lvl = jnp.where((tot_a > 0) & (lvl_auger >= 0),
-                               lvl_auger, nt_lvl)
+                ntlo, _ = jax.lax.fori_loop(
+                    0, _nbits(nions_nt), nt_body,
+                    (jnp.zeros_like(pk.cell),
+                     jnp.full_like(pk.cell, nions_nt - 1)))
+            nt_ion = jnp.clip(ntlo, 0,
+                              params.nt_target_level.shape[0] - 1)
+            nt_lvl = small_select(nt_ion,
+                                  params.nt_target_level)[0]
+            if "nt_auger_cum" in tables:
+                # Auger multi-electron ionisation: sample the number
+                # of extra ejected electrons from the energy-weighted
+                # probabilities and jump to ion+1+a's ground state
+                # (nt_random_upperion, nonthermal.cc:1657-1676)
+                na1 = tables["nt_auger_cum"].shape[2]
+                nm1_a = tables["nt_auger_cum"].shape[0]
+                arow = tables["nt_auger_cum"].reshape(
+                    nm1_a * nions_nt, na1)[mgi * nions_nt + nt_ion]
+                tot_a = arow[:, -1]
+                targ_a = jnp.clip(u[:, 13], 0.0, 1.0) * tot_a
+                a_sel = jnp.clip(
+                    jnp.sum((targ_a[:, None] >= arow)
+                            .astype(jnp.int32), axis=1), 0, na1 - 1)
+                lvl_auger = tables["nt_target_auger"].reshape(-1)[
+                    jnp.clip(nt_ion * na1 + a_sel, 0,
+                             nions_nt * na1 - 1)]
+                nt_lvl = jnp.where((tot_a > 0) & (lvl_auger >= 0),
+                                   lvl_auger, nt_lvl)
+            return nt_lvl
+
+        nt_lvl = jax.lax.cond(
+            jnp.any(lep_ion), nt_compute,
+            lambda _: jnp.full_like(pk.cell, -1), 0)
         lep_ion = lep_ion & (nt_lvl >= 0) & (tot_w_nt > 0)
         upd(lep_ion, ptype=TYPE_MA, ma_level=jnp.maximum(nt_lvl, 0),
             next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
@@ -705,27 +900,34 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             # binary search of the cumulative per-line deposition
             # fractions and activate its upper level
             nt_fe = jnp.where(lep_thick, 0.0,
-                              tables["nt_frac_exc"][mgi])
+                              cell_scalar("nt_frac_exc", CP_NT_FE))
             nexc = tables["nt_exc_cum"].shape[1]
             lep_exc = (m_lep & ~lep_ion
                        & (u[:, 8] < nt_fi + nt_fe))
-            tot_w_exc = tables["nt_exc_cum"][mgi, nexc - 1]
-            target_exc = jnp.clip(u[:, 9], 0.0, 1.0) * tot_w_exc
 
-            def exc_body(_, lohi):
-                lo_i, hi_i = lohi
-                mid = (lo_i + hi_i) // 2
-                below = tables["nt_exc_cum"][
-                    mgi, jnp.clip(mid, 0, nexc - 1)] < target_exc
-                return (jnp.where(below, mid + 1, lo_i),
-                        jnp.where(below, hi_i, mid))
+            def exc_compute(_):
+                tot_w_exc = tables["nt_exc_cum"][mgi, nexc - 1]
+                target_exc = jnp.clip(u[:, 9], 0.0, 1.0) * tot_w_exc
 
-            exclo, _ = jax.lax.fori_loop(
-                0, _nbits(nexc), exc_body,
-                (jnp.zeros_like(pk.cell),
-                 jnp.full_like(pk.cell, nexc - 1)))
-            exc_upper = tables["nt_exc_upper"][
-                jnp.clip(exclo, 0, nexc - 1)]
+                def exc_body(_, lohi):
+                    lo_i, hi_i = lohi
+                    mid = (lo_i + hi_i) // 2
+                    below = tables["nt_exc_cum"][
+                        mgi, jnp.clip(mid, 0, nexc - 1)] < target_exc
+                    return (jnp.where(below, mid + 1, lo_i),
+                            jnp.where(below, hi_i, mid))
+
+                exclo, _ = jax.lax.fori_loop(
+                    0, _nbits(nexc), exc_body,
+                    (jnp.zeros_like(pk.cell),
+                     jnp.full_like(pk.cell, nexc - 1)))
+                return (tables["nt_exc_upper"][
+                    jnp.clip(exclo, 0, nexc - 1)], tot_w_exc)
+
+            exc_upper, tot_w_exc = jax.lax.cond(
+                jnp.any(lep_exc), exc_compute,
+                lambda _: (jnp.zeros_like(pk.cell),
+                           jnp.zeros_like(pk.e_cmf)), 0)
             lep_exc = lep_exc & (tot_w_exc > 0)
             upd(lep_exc, ptype=TYPE_MA, ma_level=exc_upper,
                 next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
@@ -743,89 +945,216 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         nlev = params.ma_up_start.shape[0] - 1
         m_ma = active & (pk.ptype == TYPE_MA)
         lvl = jnp.clip(pk.ma_level, 0, nlev - 1)
-        pc = tables["ma_proc_cum"][mgi, lvl]  # [N, 8] cumulative
-        ma_total = pc[:, 7]
-        target_p = u[:, 10] * ma_total
-        # process index: count how many cumulative sums are below target
-        k_proc = jnp.sum((target_p[:, None] >= pc).astype(jnp.int32),
-                         axis=1)
-        k_proc = jnp.clip(k_proc, 0, 7)
-
-        # resonance-trap guard: nearly-degenerate level pairs ping-pong
-        # via the energy-weighted internal up/down rates with a
-        # deactivation probability that can be ~1e-6 per visit. The
-        # reference's per-packet loop (do_macroatom, macroatom.cc:416+)
-        # only wastes that one thread; in a megabatch one trapped lane
-        # stalls the whole device, so after MA_JUMP_CAP internal jumps
-        # within a single activation (counted in ``nscatterings``,
-        # unused while in the MA state) the choice is restricted to the
-        # four deactivation channels (raddeexc/coldeexc/radrecomb/
-        # colrecomb, renormalised) so the excitation leaves the atom.
         MA_JUMP_CAP = 16
-        p_ch = jnp.diff(pc, axis=1,
-                        prepend=jnp.zeros_like(pc[:, :1]))
-        d_cum = jnp.cumsum(
-            jnp.stack([p_ch[:, 0], p_ch[:, 1], p_ch[:, 4], p_ch[:, 5]],
-                      axis=1), axis=1)
-        d_tot = d_cum[:, 3]
         ma_capped = pk.nscatterings >= MA_JUMP_CAP
-        kd = jnp.sum(((u[:, 10] * d_tot)[:, None] >= d_cum)
-                     .astype(jnp.int32), axis=1)
-        k_deact = jnp.asarray([0, 1, 4, 5], jnp.int32)[
-            jnp.clip(kd, 0, 3)]
-        k_proc = jnp.where(ma_capped & (d_tot > 0), k_deact, k_proc)
-        # no process at all / no deactivation channel: thermalise
-        ma_stuck = m_ma & ((ma_total <= 0)
-                           | (ma_capped & (d_tot <= 0)))
+        packed_ma = "ma_sel_blk" in tables
 
-        # line/continuum selection: binary search the cumulative weight
-        # row over this level's CSR span (replaces the linear scans in
-        # do_macroatom_internal_down_same, macroatom.cc:174-220)
-        is_up = k_proc == 3  # MA_UPSAME
-        is_cont_sel = (k_proc == 4) | (k_proc == 6)  # recomb/downlower
-        span_s = jnp.where(is_cont_sel, params.ma_target_start[lvl],
-                           jnp.where(is_up, params.ma_lo_start[lvl],
-                                     params.ma_up_start[lvl]))
-        span_e = jnp.where(is_cont_sel, params.ma_target_start[lvl + 1],
-                           jnp.where(is_up, params.ma_lo_start[lvl + 1],
-                                     params.ma_up_start[lvl + 1]))
-        span_e = jnp.maximum(span_e, span_s + 1)
+        def _ma_proc_choice(pc):
+            """Process choice + resonance-trap guard from the [N, 8]
+            cumulative process row (see comment in the unpacked
+            branch below)."""
+            ma_total = pc[:, 7]
+            target_p = u[:, 10] * ma_total
+            k_proc = jnp.clip(
+                jnp.sum((target_p[:, None] >= pc).astype(jnp.int32),
+                        axis=1), 0, 7)
+            p_ch = jnp.diff(pc, axis=1,
+                            prepend=jnp.zeros_like(pc[:, :1]))
+            d_cum = jnp.cumsum(
+                jnp.stack([p_ch[:, 0], p_ch[:, 1], p_ch[:, 4],
+                           p_ch[:, 5]], axis=1), axis=1)
+            d_tot = d_cum[:, 3]
+            kd = jnp.clip(jnp.sum(((u[:, 10] * d_tot)[:, None]
+                                   >= d_cum).astype(jnp.int32),
+                                  axis=1), 0, 3)
+            k_deact = jnp.where(kd == 0, 0,
+                                jnp.where(kd == 1, 1,
+                                          jnp.where(kd == 2, 4, 5)))
+            k_proc = jnp.where(ma_capped & (d_tot > 0), k_deact,
+                               k_proc)
+            stuckf = (ma_total <= 0) | (ma_capped & (d_tot <= 0))
+            return k_proc, stuckf
 
-        def cumw(i):
-            li = jnp.clip(i, 0, tables["ma_w_raddeexc"].shape[1] - 1)
-            ci = jnp.clip(i, 0, tables["ma_w_radrecomb"].shape[1] - 1)
-            vr = tables["ma_w_raddeexc"][mgi, li]
-            vd = tables["ma_w_downsame"][mgi, li]
-            vu = tables["ma_w_upsame"][mgi, li]
-            vrec = tables["ma_w_radrecomb"][mgi, ci]
-            vdl = tables["ma_w_downlower"][mgi, ci]
-            out = jnp.where(k_proc == 3, vu,
-                            jnp.where(k_proc == 2, vd, vr))
-            out = jnp.where(k_proc == 4, vrec, out)
-            out = jnp.where(k_proc == 6, vdl, out)
-            return out
+        if packed_ma:
+            # ---- packed macro-atom machine: every lookup is a
+            # row-gather (9 per iteration, only when macro-atoms are
+            # in flight — the whole block sits behind a lax.cond)
+            ncont_k2 = params.ma_ctgt_pack.shape[0]
+            Kmax_ma = tables["ma_sel_blk"].shape[1] // 5 * ROWW \
+                if tables.get("ma_sel_end") is not None \
+                else tables["ma_sel_blk"].shape[2]
 
-        base_w = jnp.where(span_s > 0, cumw(span_s - 1), 0.0)
-        tot_w = cumw(span_e - 1) - base_w
-        target_w = base_w + u[:, 11] * tot_w
+            def cum_at(blk, end, G, g, pos):
+                nm1_ = blk.shape[0]
+                if end is None:
+                    K_ = blk.shape[2]
+                    rows = blk.reshape(nm1_ * G, K_)[mgi * G + g]
+                    return onehot_extract(rows, pos)
+                nbk = end.shape[2]
+                rows = blk.reshape(nm1_ * G * nbk, ROWW)[
+                    (mgi * G + g) * nbk
+                    + jnp.clip(pos // ROWW, 0, nbk - 1)]
+                return onehot_extract(rows, pos % ROWW)
 
-        def bs_body(_, lohi):
-            lo_i, hi_i = lohi
-            mid = (lo_i + hi_i) // 2
-            below = cumw(mid) < target_w
-            return (jnp.where(below, mid + 1, lo_i),
-                    jnp.where(below, hi_i, mid))
+            def ma_compute(_):
+                pc = tables["ma_proc_cum"][mgi, lvl]  # [N,8] row
+                k_proc, stuckf = _ma_proc_choice(pc)
+                sp = params.ma_span_pack[lvl]  # [N, 8] row
+                is_up = k_proc == 3
+                is_cont_sel = (k_proc == 4) | (k_proc == 6)
+                span_s = jnp.where(
+                    is_cont_sel, sp[:, 4],
+                    jnp.where(is_up, sp[:, 2], sp[:, 0])
+                ).astype(jnp.int32)
+                span_e = jnp.where(
+                    is_cont_sel, sp[:, 5],
+                    jnp.where(is_up, sp[:, 3], sp[:, 1])
+                ).astype(jnp.int32)
+                span_e = jnp.maximum(span_e, span_s + 1)
+                # group row in the merged 5-group selection table:
+                # 0 raddeexc, 1 downsame, 2 upsame, 3 radrecomb,
+                # 4 downlower
+                g5 = jnp.where(
+                    k_proc == 2, 1,
+                    jnp.where(k_proc == 3, 2,
+                              jnp.where(k_proc == 4, 3,
+                                        jnp.where(k_proc == 6, 4, 0))
+                              )).astype(jnp.int32)
+                blk = tables["ma_sel_blk"]
+                end = tables.get("ma_sel_end")
+                base_w = jnp.where(
+                    span_s > 0,
+                    cum_at(blk, end, 5, g5,
+                           jnp.maximum(span_s - 1, 0)), 0.0)
+                end_w = cum_at(blk, end, 5, g5, span_e - 1)
+                tot_w = end_w - base_w
+                target_w = base_w + u[:, 11] * tot_w
+                k_pos = cdf_search(blk, end, mgi, g5, target_w,
+                                   G=5, K=Kmax_ma)
+                k_pos = jnp.clip(k_pos, span_s, span_e - 1)
+                lt = params.ma_ltgt_pack[
+                    jnp.clip(k_pos, 0,
+                             params.ma_ltgt_pack.shape[0] - 1)]
+                ct = params.ma_ctgt_pack[
+                    jnp.clip(k_pos, 0, ncont_k2 - 1)]
+                k_line = jnp.where(is_up, lt[:, 0],
+                                   lt[:, 1]).astype(jnp.int32)
+                low_l = jnp.where(is_up, lt[:, 2],
+                                  lt[:, 4]).astype(jnp.int32)
+                up_l = jnp.where(is_up, lt[:, 3],
+                                 lt[:, 5]).astype(jnp.int32)
+                nu_ma = jnp.where(is_up, lt[:, 6], lt[:, 7])
+                k_cont = ct[:, 0].astype(jnp.int32)
+                cont_lvl_t = ct[:, 1].astype(jnp.int32)
+                nu_edge_c = ct[:, 3]
+                if "recomb_cum" in tables:
+                    nu_rec = sample_recomb_nu_table(
+                        k_cont, mgi, u[:, 6], params,
+                        tables["recomb_cum"], nu_edge=nu_edge_c)
+                else:
+                    nu_rec = sample_recomb_nu(
+                        k_cont, cell_scalar("Te", CP_TE), u[:, 6],
+                        params)
+                has_cont_f = sp[:, 6] >= 0
+                up_target = jnp.maximum(sp[:, 7], 0.0) \
+                    .astype(jnp.int32)
+                return (k_proc, stuckf, k_line, k_cont, nu_ma,
+                        nu_rec, low_l, up_l, cont_lvl_t, up_target,
+                        has_cont_f)
 
-        lo_i, hi_i = jax.lax.fori_loop(
-            0, _nbits(params.line_nu.shape[0]), bs_body,
-            (span_s, span_e - 1))
-        k_pos = jnp.clip(lo_i, span_s, span_e - 1)
-        k_line = jnp.where(is_up, params.ma_bylo_perm[k_pos],
-                           params.ma_byup_perm[k_pos])
-        k_line = jnp.clip(k_line, 0, params.line_nu.shape[0] - 1)
-        k_cont = params.ma_bytarget_perm[
-            jnp.clip(k_pos, 0, params.ma_bytarget_perm.shape[0] - 1)]
-        k_cont = jnp.clip(k_cont, 0, params.cont_nu_edge.shape[0] - 1)
+            def ma_skip(_):
+                zi = jnp.zeros_like(pk.cell)
+                zb = jnp.zeros(pk.cell.shape, bool)
+                zf1 = jnp.ones_like(pk.e_cmf)
+                return (zi, zb, zi, zi, zf1, zf1, zi, zi, zi, zi, zb)
+
+            (k_proc, ma_stuckf, k_line, k_cont, nu_ma, nu_rec, low_l,
+             up_l, cont_lvl_t, up_target, has_cont) = jax.lax.cond(
+                jnp.any(m_ma), ma_compute, ma_skip, 0)
+            ma_stuck = m_ma & ma_stuckf
+            is_up = k_proc == 3
+        else:
+            pc = tables["ma_proc_cum"][mgi, lvl]  # [N, 8] cumulative
+            k_proc, ma_stuckf = _ma_proc_choice(pc)
+            ma_stuck = m_ma & ma_stuckf
+            # (resonance-trap guard: see _ma_proc_choice — after
+            # MA_JUMP_CAP internal jumps the choice is restricted to
+            # the deactivation channels so a trapped lane cannot
+            # stall the megabatch the way it could not stall the
+            # reference's per-packet loop, do_macroatom
+            # macroatom.cc:416+)
+
+            # line/continuum selection: binary search the cumulative
+            # weight row over this level's CSR span (replaces the
+            # linear scans in do_macroatom_internal_down_same,
+            # macroatom.cc:174-220)
+            is_up = k_proc == 3  # MA_UPSAME
+            is_cont_sel = (k_proc == 4) | (k_proc == 6)
+            span_s = jnp.where(
+                is_cont_sel, params.ma_target_start[lvl],
+                jnp.where(is_up, params.ma_lo_start[lvl],
+                          params.ma_up_start[lvl]))
+            span_e = jnp.where(
+                is_cont_sel, params.ma_target_start[lvl + 1],
+                jnp.where(is_up, params.ma_lo_start[lvl + 1],
+                          params.ma_up_start[lvl + 1]))
+            span_e = jnp.maximum(span_e, span_s + 1)
+
+            def cumw(i):
+                li = jnp.clip(i, 0,
+                              tables["ma_w_raddeexc"].shape[1] - 1)
+                ci = jnp.clip(i, 0,
+                              tables["ma_w_radrecomb"].shape[1] - 1)
+                vr = tables["ma_w_raddeexc"][mgi, li]
+                vd = tables["ma_w_downsame"][mgi, li]
+                vu = tables["ma_w_upsame"][mgi, li]
+                vrec = tables["ma_w_radrecomb"][mgi, ci]
+                vdl = tables["ma_w_downlower"][mgi, ci]
+                out = jnp.where(k_proc == 3, vu,
+                                jnp.where(k_proc == 2, vd, vr))
+                out = jnp.where(k_proc == 4, vrec, out)
+                out = jnp.where(k_proc == 6, vdl, out)
+                return out
+
+            base_w = jnp.where(span_s > 0, cumw(span_s - 1), 0.0)
+            tot_w = cumw(span_e - 1) - base_w
+            target_w = base_w + u[:, 11] * tot_w
+
+            def bs_body(_, lohi):
+                lo_i, hi_i = lohi
+                mid = (lo_i + hi_i) // 2
+                below = cumw(mid) < target_w
+                return (jnp.where(below, mid + 1, lo_i),
+                        jnp.where(below, hi_i, mid))
+
+            lo_i, hi_i = jax.lax.fori_loop(
+                0, _nbits(params.line_nu.shape[0]), bs_body,
+                (span_s, span_e - 1))
+            k_pos = jnp.clip(lo_i, span_s, span_e - 1)
+            k_line = jnp.where(is_up, params.ma_bylo_perm[k_pos],
+                               params.ma_byup_perm[k_pos])
+            k_line = jnp.clip(k_line, 0, params.line_nu.shape[0] - 1)
+            k_cont = params.ma_bytarget_perm[
+                jnp.clip(k_pos, 0,
+                         params.ma_bytarget_perm.shape[0] - 1)]
+            k_cont = jnp.clip(k_cont, 0,
+                              params.cont_nu_edge.shape[0] - 1)
+            nu_ma = params.line_nu[k_line]
+            low_l = params.line_lower[k_line]
+            up_l = params.line_upper[k_line]
+            cont_lvl_t = params.cont_level[k_cont]
+            Te_ma0 = cell_scalar("Te", CP_TE)
+            if "recomb_cum" in tables:
+                nu_rec = sample_recomb_nu_table(
+                    k_cont, mgi, u[:, 6], params,
+                    tables["recomb_cum"])
+            else:
+                nu_rec = sample_recomb_nu(k_cont, Te_ma0, u[:, 6],
+                                          params)
+            lc_idx = params.level_cont[lvl]
+            has_cont = lc_idx >= 0
+            up_target = params.cont_upperlevel[
+                jnp.clip(lc_idx, 0, params.cont_nu_edge.shape[0] - 1)]
 
         # actions
         ma_rad = m_ma & ~ma_stuck & (k_proc == 0)
@@ -838,7 +1167,6 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
         # radiative deexcitation -> r-packet in the selected line
         # (do_macroatom_raddeexcitation, macroatom.cc:222-296)
-        nu_ma = params.line_nu[k_line]
         dir_ma, dopp_ma = _emit_isotropic(pk.pos, pk.prop_time,
                                           u[:, 4], u[:, 5],
                                           relativistic)
@@ -853,13 +1181,6 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                 jnp.where(ma_rad, 1.0, 0.0))
         # radiative recombination -> r-packet at a continuum frequency
         # (do_macroatom_radrecomb, macroatom.cc:298-380)
-        Te_ma = tables["Te"][mgi]
-        if "recomb_cum" in tables:
-            nu_rec = sample_recomb_nu_table(k_cont, mgi, u[:, 6],
-                                            params,
-                                            tables["recomb_cum"])
-        else:
-            nu_rec = sample_recomb_nu(k_cont, Te_ma, u[:, 6], params)
         upd(ma_radrec, ptype=TYPE_RPKT, nu_cmf=nu_rec,
             nu_rf=nu_rec / dopp_ma, e_rf=pk.e_cmf / dopp_ma,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
@@ -871,15 +1192,11 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(ma_col, ptype=TYPE_KPKT, next_trans=jnp.int32(-1))
         # internal jumps (same ion, lower ion, upper ion); count jumps
         # within this activation for the resonance-trap guard
-        upd(ma_down, ma_level=params.line_lower[k_line])
-        upd(ma_up_j, ma_level=params.line_upper[k_line])
-        upd(ma_downlower, ma_level=params.cont_level[k_cont])
+        upd(ma_down, ma_level=low_l)
+        upd(ma_up_j, ma_level=up_l)
+        upd(ma_downlower, ma_level=cont_lvl_t)
         upd(m_ma & ~ma_rad & ~ma_col & ~ma_radrec,
             nscatterings=pk.nscatterings + 1)
-        lc_idx = params.level_cont[lvl]
-        has_cont = lc_idx >= 0
-        up_target = params.cont_upperlevel[
-            jnp.clip(lc_idx, 0, params.cont_nu_edge.shape[0] - 1)]
         upd(ma_uphigher & has_cont, ma_level=up_target)
         # a level without a continuum cannot ionise; thermalise
         upd(ma_uphigher & ~has_cont, ptype=TYPE_KPKT,
@@ -918,7 +1235,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     # photoionisation machinery.)
     # =====================================================================
     ptype_now = new["ptype"]
-    is_thick = tables["thick"][mgi] == 1
+    is_thick = cell_scalar("thick", CP_THICK) == 1
     m_kpkt_all = active & ((ptype_now == TYPE_PRE_KPKT)
                            | (ptype_now == TYPE_KPKT))
     # kpkt diffusion-time delay (do_kpkt, kpkt.cc:505-515): TYPE_KPKT
@@ -936,7 +1253,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     t_k = jnp.where(is_k, t_kd, t0_k)
     pos_k = new["pos"] * jnp.where(is_k, t_kd / t0_safe, 1.0)[:, None]
     upd(m_kpkt_all & is_k, pos=pos_k, prop_time=t_k)
-    Te = tables["Te"][mgi]
+    Te = cell_scalar("Te", CP_TE)
     dir_k, dopp_k = _emit_isotropic(pos_k, t_k, u[:, 4], u[:, 5],
                                     relativistic)
     if detailed:
@@ -944,10 +1261,16 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         in_det_cell = ~is_thick & (mgi < nmodel_k)
         nlines_k = tables["kp_w_collexc"].shape[1]
         ncont_k = tables["kp_w_fb"].shape[1]
-        cool_ff = tables["kp_cool_ff"][mgi]
-        cool_fb = tables["kp_w_fb"][mgi, ncont_k - 1]
-        cool_exc = tables["kp_w_collexc"][mgi, nlines_k - 1]
-        cool_ion = tables["kp_w_collion"][mgi, ncont_k - 1]
+        if has_cp:
+            cool_ff = cp[:, CP_COOL_FF]
+            cool_fb = cp[:, CP_COOL_FB]
+            cool_exc = cp[:, CP_COOL_EXC]
+            cool_ion = cp[:, CP_COOL_ION]
+        else:
+            cool_ff = tables["kp_cool_ff"][mgi]
+            cool_fb = tables["kp_w_fb"][mgi, ncont_k - 1]
+            cool_exc = tables["kp_w_collexc"][mgi, nlines_k - 1]
+            cool_ion = tables["kp_w_collion"][mgi, ncont_k - 1]
         # second half of the resonance-trap guard (see phase A2b): a
         # packet that burned its macro-atom jump budget must not be
         # pumped back into the trap by collisional excitation, so its
@@ -998,55 +1321,110 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
             emissiontype=jnp.int32(EMTYPE_FREEFREE))
 
-        # fb emission: select the continuum, sample nu from its
-        # recombination emissivity (kpkt.cc:612-695)
-        k_fb_cont = ksel(tables["kp_w_fb"], ncont_k, k_fb)
-        k_fb_clip = jnp.clip(k_fb_cont, 0,
-                             params.cont_nu_edge.shape[0] - 1)
-        if "recomb_cum" in tables:
-            nu_fb = sample_recomb_nu_table(k_fb_clip, mgi, u[:, 6],
-                                           params,
-                                           tables["recomb_cum"])
+        # channel-target selection: the three cumulative tables
+        # (collexc over lines, fb + collion over continua) are merged
+        # into one 3-group pack so every k-packet pays ONE cdf_search
+        # + two constant-row gathers — behind a lax.cond that skips
+        # the block entirely on iterations without eligible k-packets
+        if "kp_sel_blk" in tables:
+            kblk = tables["kp_sel_blk"]
+            kend = tables.get("kp_sel_end")
+            Kmax_kp = (kblk.shape[1] // 3 * ROWW
+                       if kend is not None else kblk.shape[2])
+
+            def kp_compute(_):
+                g3 = jnp.where(k_fb, 1,
+                               jnp.where(k_ion, 2, 0)).astype(jnp.int32)
+                tot3 = jnp.where(k_fb, cool_fb,
+                                 jnp.where(k_ion, cool_ion, cool_exc))
+                target3 = jnp.clip(u[:, 12], 0.0, 1.0) * tot3
+                ksel_i = cdf_search(kblk, kend, mgi, g3, target3,
+                                    G=3, K=Kmax_kp)
+                ln = params.ln_pack[
+                    jnp.clip(ksel_i, 0, params.ln_pack.shape[0] - 1)]
+                cont_idx = jnp.clip(ksel_i, 0,
+                                    params.cn_pack.shape[0] - 1)
+                cn = params.cn_pack[cont_idx]
+                exc_upper = ln[:, 2].astype(jnp.int32)
+                ci_upper = cn[:, 2].astype(jnp.int32)
+                if "recomb_cum" in tables:
+                    nu_fb_i = sample_recomb_nu_table(
+                        cont_idx, mgi, u[:, 6], params,
+                        tables["recomb_cum"], nu_edge=cn[:, 0])
+                else:
+                    nu_fb_i = sample_recomb_nu(cont_idx, Te, u[:, 6],
+                                               params)
+                return cont_idx, exc_upper, ci_upper, nu_fb_i
+
+            def kp_skip(_):
+                zi = jnp.zeros_like(pk.cell)
+                return zi, zi, zi, jnp.ones_like(pk.e_cmf)
+
+            k_fb_cont, exc_upper_t, ci_upper_t, nu_fb = jax.lax.cond(
+                jnp.any(k_fb | k_exc | k_ion), kp_compute, kp_skip, 0)
         else:
-            nu_fb = sample_recomb_nu(k_fb_clip, Te, u[:, 6], params)
+            # fb emission: select the continuum, sample nu from its
+            # recombination emissivity (kpkt.cc:612-695)
+            k_fb_cont = jnp.clip(
+                ksel(tables["kp_w_fb"], ncont_k, k_fb), 0,
+                params.cont_nu_edge.shape[0] - 1)
+            if "recomb_cum" in tables:
+                nu_fb = sample_recomb_nu_table(k_fb_cont, mgi,
+                                               u[:, 6], params,
+                                               tables["recomb_cum"])
+            else:
+                nu_fb = sample_recomb_nu(k_fb_cont, Te, u[:, 6],
+                                         params)
+            k_sel = jnp.clip(
+                ksel(tables["kp_w_collexc"], nlines_k, k_exc),
+                0, params.line_upper.shape[0] - 1)
+            exc_upper_t = params.line_upper[k_sel]
+            k_ion_cont = jnp.clip(
+                ksel(tables["kp_w_collion"], ncont_k, k_ion), 0,
+                params.cont_upperlevel.shape[0] - 1)
+            ci_upper_t = params.cont_upperlevel[k_ion_cont]
+
         upd(k_fb, ptype=TYPE_RPKT, nu_cmf=nu_fb, nu_rf=nu_fb / dopp_k,
             e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
             last_cross=geo.BOUNDARY_NONE, em_time=t_k,
             nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
-            emissiontype=-1 - jnp.clip(
-                k_fb_cont, 0, params.cont_nu_edge.shape[0] - 1))
+            emissiontype=-1 - k_fb_cont)
 
         # collisional excitation: line -> macro-atom upper level
         # (kpkt.cc:696-760)
-        k_sel = jnp.clip(ksel(tables["kp_w_collexc"], nlines_k, k_exc),
-                         0, params.line_upper.shape[0] - 1)
-        upd(k_exc, ptype=TYPE_MA, ma_level=params.line_upper[k_sel],
+        upd(k_exc, ptype=TYPE_MA, ma_level=exc_upper_t,
             next_trans=jnp.int32(-1))
         if "ion_stats" in est:
             # ENERGYIN_COLLEXC(24), ENERGYIN_TOTAL(28)
-            ion_ke = _lvl_ion(params.line_upper[k_sel])
+            ion_ke = _lvl_ion(exc_upper_t)
             w_ke = jnp.where(k_exc, new["e_cmf"], 0.0)
             for col in (24, 28):
                 est_ion = est_ion.at[mgi, ion_ke, col].add(w_ke)
 
         # collisional ionisation: continuum -> macro-atom in the upper
         # ion target level (kpkt.cc:762-820)
-        k_ion_cont = jnp.clip(
-            ksel(tables["kp_w_collion"], ncont_k, k_ion), 0,
-            params.cont_upperlevel.shape[0] - 1)
-        upd(k_ion, ptype=TYPE_MA,
-            ma_level=params.cont_upperlevel[k_ion_cont],
+        upd(k_ion, ptype=TYPE_MA, ma_level=ci_upper_t,
             next_trans=jnp.int32(-1))
         if "ion_stats" in est:
             # ENERGYIN_COLLION(25), ENERGYIN_TOTAL(28)
-            ion_ki = _lvl_ion(params.cont_upperlevel[k_ion_cont])
+            ion_ki = _lvl_ion(ci_upper_t)
             w_ki = jnp.where(k_ion, new["e_cmf"], 0.0)
             for col in (25, 28):
                 est_ion = est_ion.at[mgi, ion_ki, col].add(w_ki)
     else:
         m_kbb = m_kpkt_all
 
-    nu_pl = sample_planck_nu(u[:, 3], Te, params)
+    if has_cp:
+        p_clo = cp[:, CP_PLANCK_CLO]
+        p_chi = cp[:, CP_PLANCK_CHI]
+    else:
+        xs_p, cdf_p = params.planck_x, params.planck_cdf
+        Tsafe_p = jnp.maximum(Te, 1.0)
+        p_clo = interp_cmp(H * params.nu_min_r / (KB * Tsafe_p),
+                           xs_p, cdf_p)
+        p_chi = interp_cmp(H * params.nu_max_r / (KB * Tsafe_p),
+                           xs_p, cdf_p)
+    nu_pl = sample_planck_nu_cp(u[:, 3], Te, p_clo, p_chi, params)
     upd(m_kbb, ptype=TYPE_RPKT, nu_cmf=nu_pl, nu_rf=nu_pl / dopp_k,
         e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
         last_cross=geo.BOUNDARY_NONE, em_time=t_k,
@@ -1077,11 +1455,16 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         sdist, snext, lc_new = geo.boundary_cross_spherical(
             pos_b, dir_b, t_b, pk.cell, pk.last_cross,
             tables["cell_mgi"].shape[0], tables["pos_min"][:, 0],
-            tables["wid"])
+            tables["wid"],
+            rmin_pre=cp[:, CP_POSMIN_X] if has_cp else None,
+            wid_pre=cp[:, CP_WID] if has_cp else None)
     else:
         sdist, snext, lc_new = geo.boundary_cross_uniform(
             pos_b, dir_b, t_b, pk.cell, pk.last_cross,
-            ncoord, tables["pos_min"], tables["wid"])
+            ncoord, tables["pos_min"], tables["wid"],
+            cmin_pre=(cp[:, CP_POSMIN_X:CP_POSMIN_X + 3]
+                      if has_cp else None),
+            wid_pre=cp[:, CP_WID] if has_cp else None)
 
     clamped = sdist > params.max_path_step
     sdist = jnp.where(clamped, params.max_path_step, sdist)
@@ -1090,13 +1473,14 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     dopp_here = geo.doppler_packet(pos_b, dir_b, t_b, relativistic)
 
     # interaction coefficients per sim length (rest frame)
-    rho = tables["rho"][mgi]
-    ffe = tables["ffegrp"][mgi]
+    rho = cell_scalar("rho", CP_RHO)
+    ffe = cell_scalar("ffegrp", CP_FFE)
     x_unit = params.x_unit
     # gamma (do_gamma, gammapkt.cc:576-600)
     kap_compton = jnp.where(
         params.gamma_grey < 0,
-        sigma_compton_total(pk.nu_cmf) * tables["nnetot_sig"][mgi]
+        sigma_compton_total(pk.nu_cmf)
+        * cell_scalar("nnetot_sig", CP_NNETOT_SIG)
         / SIGMA_T, 0.0) * dopp_here
     kap_pe = sigma_photoelectric_cgs(pk.nu_cmf, rho, ffe,
                                      params.gamma_grey) * x_unit * dopp_here
@@ -1106,7 +1490,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
     # r-packet grey opacity (do_rpkt_step, rpkt.cc:704-727): empty cells
     # free-stream; thick/grey cells scatter with kappa_grey * rho
-    chi_rpkt = tables["chi_grey"][mgi] * dopp_here
+    chi_rpkt = cell_scalar("chi_grey", CP_CHI_GREY) * dopp_here
     is_empty = mgi >= nmodel
 
     kap_tot = jnp.where(m_gam, kap_gamma_tot, chi_rpkt)
@@ -1122,7 +1506,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # iteration, accumulating continuum + line optical depth
         # against one exponential budget — the exact reference
         # algorithm, batched.
-        is_thick_c = tables["thick"][mgi] == 1
+        is_thick_c = cell_scalar("thick", CP_THICK) == 1
         m_det = m_rpkt & ~is_empty & ~is_thick_c
         nlines = params.line_nu.shape[0]
         LWALK = 24
@@ -1130,17 +1514,34 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # next candidate line (closest_transition, rpkt.cc:26-65):
         # trust the stored index; re-sync by binary search when flagged
         # first line with nu < nu_cmf in the descending-nu line list
-        j_sync = bisect_count_gt_desc(params.line_nu, pk.nu_cmf,
-                                      nlines)
+        if "lw_nu_blk" in tables and not relativistic:
+            # two-level search over the shared 128-wide nu blocks:
+            # the block whose end first drops below nu_cmf, then a
+            # compare-count within that one row-gathered block
+            LWNU_s = tables["lw_nu_blk"]  # [nb, 128]
+            nb_s = LWNU_s.shape[0]
+            ends_s = LWNU_s[:, ROWW - 1]  # [nb] descending
+            b_s = jnp.sum((ends_s[None, :] > pk.nu_cmf[:, None])
+                          .astype(jnp.int32), axis=1)
+            b_s = jnp.clip(b_s, 0, nb_s - 1)
+            row_s = LWNU_s[b_s]  # [N, 128] row-gather
+            j_sync = jnp.minimum(
+                b_s * ROWW + jnp.sum(
+                    (row_s > pk.nu_cmf[:, None]).astype(jnp.int32),
+                    axis=1), nlines)
+        else:
+            j_sync = bisect_count_gt_desc(params.line_nu, pk.nu_cmf,
+                                          nlines)
         j0 = jnp.where(pk.next_trans >= 0, pk.next_trans, j_sync)
 
         # continuum opacity: Thomson + free-free (calculate_kappa_ff,
         # rpkt.cc:1027-1073); kff_base has the nu^-3 scale folded in
-        Te_b = jnp.maximum(tables["Te"][mgi], 1.0)
+        Te_b = jnp.maximum(cell_scalar("Te", CP_TE), 1.0)
         nu15 = jnp.maximum(pk.nu_cmf, 1e12) / 1e15
-        kff = tables["kff_base"][mgi] * jnp.power(nu15, -3.0) \
+        kff = cell_scalar("kff_base", CP_KFF) \
+            * jnp.power(nu15, -3.0) \
             * (-jnp.expm1(-jnp.float32(H / KB) * pk.nu_cmf / Te_b))
-        chi_th = tables["chi_thomson"][mgi]
+        chi_th = cell_scalar("chi_thomson", CP_CHI_TH)
         # bound-free opacity from the per-cell frequency-binned table
         # (replaces calculate_kappa_bf_gammacontr, rpkt.cc:1075-1207)
         nbf_bins = tables["chi_bf"].shape[1]
@@ -1149,14 +1550,14 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                  / params.bf_dlognu).astype(jnp.int32)
         chi_bf_v = jnp.where(
             (bfbin >= 0) & (bfbin < nbf_bins),
-            tables["chi_bf"][mgi, jnp.clip(bfbin, 0, nbf_bins - 1)],
-            0.0)
+            bin_fetch(tables["chi_bf"], mgi,
+                      jnp.clip(bfbin, 0, nbf_bins - 1)), 0.0)
         chi_cont = jnp.maximum((chi_th + kff + chi_bf_v) * dopp_here,
                                1e-30)
 
         dist_limit = jnp.minimum(sdist, tdist)
         WK_WALKING, WK_CONT, WK_BB, WK_LIMIT = 0, 1, 2, 3
-        use_cum_walk = ("line_taucum" in tables) and not relativistic
+        use_cum_walk = ("lw_D_blk" in tables) and not relativistic
 
         def walk_body(_, st):
             jw, ldist_prev, tau_acc, kind, ev_dist, ev_line = st
@@ -1213,57 +1614,100 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             return (jw, ldist_prev, tau_acc, kind, ev_dist, ev_line)
 
         if use_cum_walk:
-            # ---- analytic Sobolev walk: resolve the WHOLE line walk
-            # in one binary search over the per-cell cumulative line
-            # optical depth. Key identity (non-relativistic homologous
-            # flow): the resonance time factor is exactly
-            # t(s_k) = t_b * nu_cmf / nu_k, so the accumulated Sobolev
-            # depth of lines (j0..j) is t_b * nu_cmf * (D[j] - D[j0])
-            # with the per-timestep table D[cell, j] = cumsum over the
-            # frequency-sorted list of tau_base[cell, k] / nu_k.
-            # A(j) = chi_cont * ldist(j) + line part is monotone in j,
-            # so the first j with A(j) >= tau_budget locates the event
-            # in O(log nlines) gathers — replacing the LWALK-per-
-            # iteration stepping walk (and its O(events * nlines/LWALK)
-            # iteration count) with exactly one iteration per physical
-            # event. Physics identical to get_event (rpkt.cc:67-328).
-            D_tbl = tables["line_taucum"]      # [nmodel+1, nlines+1]
-            tau_tbl = tables["line_tau_base"]  # [nmodel+1, nlines]
+            # ---- analytic Sobolev walk: resolve the WHOLE inter-event
+            # line walk with a two-level block search over the per-cell
+            # cumulative line optical depth. Key identity
+            # (non-relativistic homologous flow): the resonance time
+            # factor is exactly t(s_k) = t_b * nu_cmf / nu_k, so the
+            # accumulated Sobolev depth of lines (j0..j) is
+            # t_nu * (D[j] - D[j0]) with the per-timestep table
+            # D[cell, j] = cumsum of tau_base[cell, k] / nu_k over the
+            # frequency-sorted list. P(j) = chi_cont*ldist(j) +
+            # t_nu*D(j) is monotone in j, so the event block is the
+            # first block whose END crosses the budget, then one
+            # in-register pass over the 128-line block pins the line.
+            # Everything is laid out in 128-wide rows because on TPU a
+            # whole-row gather costs the same as one scalar gather:
+            # the complete walk costs ~6 row-gathers, one iteration
+            # per physical event, at ANY linelist length. Physics
+            # identical to get_event (rpkt.cc:67-328).
+            LWD = tables["lw_D_blk"]      # [nm1, nb, 128]
+            LWT = tables["lw_tau_blk"]    # [nm1, nb, 128]
+            LWNU = tables["lw_nu_blk"]    # [nb, 128] shared
+            D_ends = tables["lw_D_end"]   # [nm1, nb]
+            T_ends = tables["lw_tau_end"]
+            nm1_w = LWD.shape[0]
+            nbw = LWNU.shape[0]
+            LWD2 = LWD.reshape(nm1_w * nbw, ROWW)
+            LWT2 = LWT.reshape(nm1_w * nbw, ROWW)
             t_nu = t_b * pk.nu_cmf
             j0c = jnp.clip(j0, 0, nlines)
-            D_flat = D_tbl.reshape(-1)
-            D_base = mgi * (nlines + 1)
-            D0 = D_flat[D_base + j0c]
+            iota = jnp.arange(ROWW, dtype=jnp.int32)
 
-            def ldist_of(j):
-                nu_j = params.line_nu[jnp.clip(j, 0, nlines - 1)]
-                ld = t_b * (pk.nu_cmf / jnp.maximum(nu_j, 1.0) - 1.0)
-                return jnp.where(j >= nlines, BIG,
-                                 jnp.maximum(ld, 0.0))
+            def ld_of_nu(nu_j):
+                nu_c, tb = pk.nu_cmf, t_b
+                if nu_j.ndim == 2:
+                    nu_c, tb = nu_c[:, None], tb[:, None]
+                ld = tb * (nu_c / jnp.maximum(nu_j, 1.0) - 1.0)
+                return jnp.maximum(ld, 0.0)
 
-            def A_of(j):
-                a = (chi_cont * ldist_of(j)
-                     + t_nu * (D_flat[D_base + jnp.clip(j, 0, nlines)]
-                               - D0))
-                return jnp.where(j >= nlines, BIG, a)
+            # D0 = D at the walk start (one row-gather + extract)
+            b0 = j0c // ROWW
+            D0 = onehot_extract(LWD2[mgi * nbw + b0], j0c % ROWW)
+            Ccross = tau_next + t_nu * D0
 
-            def sbody(_, lh):
-                lo_i, hi_i = lh
-                mid = (lo_i + hi_i) // 2
-                pred = A_of(mid) < tau_next
-                return (jnp.where(pred, mid + 1, lo_i),
-                        jnp.where(pred, hi_i, mid))
+            # level 1: first block (>= b0) whose end crosses
+            nu_ends = LWNU[:, ROWW - 1]            # [nb] shared
+            d_end_rows = D_ends[mgi]               # [N, nb] row-gather
+            t_end_rows = T_ends[mgi]               # [N, nb]
+            iota_b = jnp.arange(nbw, dtype=jnp.int32)
+            ld_ends = jnp.maximum(
+                t_b[:, None] * (pk.nu_cmf[:, None]
+                                / jnp.maximum(nu_ends, 1.0)[None, :]
+                                - 1.0), 0.0)
+            end_is_pad = (iota_b * ROWW + ROWW - 1) >= nlines
+            ld_ends = jnp.where(end_is_pad[None, :], BIG, ld_ends)
+            P_ends = chi_cont[:, None] * ld_ends \
+                + t_nu[:, None] * d_end_rows
+            ok_b = ((iota_b[None, :] >= b0[:, None])
+                    & (P_ends >= Ccross[:, None]))
+            b_ev = jnp.argmax(ok_b, axis=1).astype(jnp.int32)
 
-            jc_e, _ = jax.lax.fori_loop(
-                0, _nbits(nlines + 1), sbody,
-                (j0c, jnp.full_like(j0c, nlines)))
+            # level 2: pin the crossing inside the block
+            rowD = LWD2[mgi * nbw + b_ev]
+            rowT = LWT2[mgi * nbw + b_ev]
+            rowNU = LWNU[b_ev]
+            pos = b_ev[:, None] * ROWW + iota[None, :]
+            ld_blk = jnp.where(pos >= nlines, BIG, ld_of_nu(rowNU))
+            P_blk = chi_cont[:, None] * ld_blk + t_nu[:, None] * rowD
+            ok_j = ((pos >= j0c[:, None])
+                    & (P_blk >= Ccross[:, None]))
+            off = jnp.argmax(ok_j, axis=1).astype(jnp.int32)
+            jc_e = jnp.minimum(b_ev * ROWW + off, nlines)
 
             has_prev = jc_e > j0c
+            # previous line: same block (off > 0) or the end of the
+            # previous block — both available in registers
+            in_blk = off > 0
+            offp = jnp.maximum(off - 1, 0)
+            bp = jnp.maximum(b_ev - 1, 0)
+            D_prev = jnp.where(in_blk, onehot_extract(rowD, offp),
+                               onehot_extract(d_end_rows, bp))
+            tau_b_prev = jnp.where(in_blk, onehot_extract(rowT, offp),
+                                   onehot_extract(t_end_rows, bp))
+            nu_prev_r = jnp.where(
+                in_blk, onehot_extract(rowNU, offp),
+                small_select(bp, nu_ends)[0])
+            nu_prev = jnp.maximum(nu_prev_r, 1.0)
             jprev = jnp.clip(jc_e - 1, 0, nlines - 1)
-            nu_prev = jnp.maximum(params.line_nu[jprev], 1.0)
-            tau_prev = (tau_tbl.reshape(-1)[mgi * nlines + jprev]
-                        * t_nu / nu_prev)
-            A_prev = A_of(jprev)
+            tau_prev = tau_b_prev * t_nu / nu_prev
+
+            def ldist_of(j):
+                # only used at jprev below (register values)
+                return jnp.where(j >= nlines, BIG, ld_of_nu(nu_prev))
+
+            A_prev = (chi_cont * ld_of_nu(nu_prev)
+                      + t_nu * (D_prev - D0))
             # continuum crossing within the stretch before line jc, or
             # Sobolev absorption AT line jc-1 (the budget is exhausted
             # inside that line's depth)
@@ -1274,17 +1718,13 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             s_cont = s_start + (tau_next - tau_after) / chi_cont
             ev_dist_c = jnp.where(bb, s_bb, jnp.maximum(s_cont, 0.0))
             hit = ev_dist_c <= dist_limit
-            # lines passed up to the limit (boundary/time lanes):
-            # ldist(k) <= dist_limit  <=>  nu_k >= nu_lim
-            nu_lim = pk.nu_cmf * t_b / jnp.maximum(
-                t_b + dist_limit, 1e-30)
-            j_lim = jnp.maximum(
-                bisect_count_gt_desc(params.line_nu, nu_lim, nlines),
-                j0c)
+            # boundary/time lanes re-sync the line index from nu_cmf
+            # on their next iteration (closest_transition semantics,
+            # rpkt.cc:26-65) instead of paying a second search here
             walk_kind = jnp.where(hit & bb, WK_BB,
                                   jnp.where(hit, WK_CONT, WK_LIMIT))
             walk_line = jprev
-            j_new = jnp.where(hit, jc_e, j_lim)
+            j_new = jnp.where(hit, jc_e, -1)
             kexh = jnp.zeros_like(m_det)
             edist_det = jnp.where(hit, ev_dist_c, BIG)
         else:
@@ -1334,7 +1774,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                      * (1.0 - mu_cmf))
         dsig = (jnp.float32(0.0596831 * SIGMA_T) / (f_c * f_c)
                 * (f_c + 1.0 / f_c + mu_cmf * mu_cmf - 1.0))
-        nne_len = tables["nnetot_sig"][mgi] / jnp.float32(SIGMA_T)
+        nne_len = (cell_scalar("nnetot_sig", CP_NNETOT_SIG)
+                   / jnp.float32(SIGMA_T))
         emiss_c = (pk.e_rf * dsig * dist * dopp_mid * dopp_mid / f_c
                    * nne_len)
         freq_out = nu_cmf_mid / f_c
@@ -1518,7 +1959,11 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # bound-bound absorption activates the macro-atom in the
         # line's upper level (rpkt_event_boundbound, rpkt.cc:449-489)
         wl_c = jnp.clip(walk_line, 0, nlines - 1)
-        upd(bb_hit, ptype=TYPE_MA, ma_level=params.line_upper[wl_c],
+        if params.ln_pack.shape[0] == nlines:
+            bb_upper = params.ln_pack[wl_c][:, 2].astype(jnp.int32)
+        else:
+            bb_upper = params.line_upper[wl_c]
+        upd(bb_hit, ptype=TYPE_MA, ma_level=bb_upper,
             next_trans=wl_c + 1, nscatterings=jnp.int32(0),
             absorptiontype=wl_c, absorption_nu=pk.nu_rf)
         cnt["ma_activations"] += mcount(bb_hit)
@@ -1528,7 +1973,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         if "ion_stats" in est:
             # ION_BOUNDBOUND_MACROATOM(4), _ABSORBED(5),
             # ENERGYIN_RADEXC(22), ENERGYIN_TOTAL(28)
-            ion_bb = _lvl_ion(params.line_upper[wl_c])
+            ion_bb = _lvl_ion(bb_upper)
             w_bb = jnp.where(bb_hit, pk.e_cmf, 0.0)
             for col in (4, 5, 22, 28):
                 est_ion = est_ion.at[mgi, ion_bb, col].add(w_bb)
@@ -1575,32 +2020,75 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         selbin = jnp.clip(
             ((jnp.log(jnp.maximum(nu_cmf_n, 1.0)) - params.bf_lognu_min)
              / params.bf_dlognu_sel).astype(jnp.int32), 0, nsel - 1)
-        row_tot = tables["bf_sel_cum"][mgi, selbin, ncont_b - 1]
-        bf_target = jnp.clip(u[:, 12], 0.0, 1.0) * row_tot
+        nm1_bf = tables["bf_sel_cum"].shape[0]
+        if params.cn_pack.shape[0] >= ncont_b:
+            # packed: the per-(cell, nu-bin) cumulative row is one
+            # row-gather (+cmp) when it fits 128 continua, and the
+            # whole selection hides behind a lax.cond on any(ev_bf)
+            def bf_compute(_):
+                if ncont_b <= ROWW:
+                    rows_bf = tables["bf_sel_cum"].reshape(
+                        nm1_bf * nsel, ncont_b)[mgi * nsel + selbin]
+                    tgt = (jnp.clip(u[:, 12], 0.0, 1.0)
+                           * rows_bf[:, ncont_b - 1])[:, None]
+                    bfi = jnp.clip(
+                        jnp.sum((rows_bf < tgt).astype(jnp.int32),
+                                axis=1), 0, ncont_b - 1)
+                else:
+                    nbb = -(-ncont_b // ROWW)
+                    padded = jnp.pad(
+                        tables["bf_sel_cum"],
+                        ((0, 0), (0, 0), (0, nbb * ROWW - ncont_b)),
+                        mode="edge")
+                    endb = padded.reshape(
+                        nm1_bf, nsel, nbb, ROWW)[..., -1]
+                    ends_row = endb.reshape(
+                        nm1_bf * nsel, nbb)[mgi * nsel + selbin]
+                    bfi = cdf_search(
+                        padded.reshape(nm1_bf, nsel * nbb, ROWW),
+                        endb, mgi, selbin,
+                        jnp.clip(u[:, 12], 0.0, 1.0)
+                        * ends_row[:, nbb - 1],
+                        G=nsel, K=nbb * ROWW)
+                bfi = jnp.clip(bfi, 0, params.cn_pack.shape[0] - 1)
+                cnb = params.cn_pack[bfi]
+                return (bfi, cnb[:, 0],
+                        cnb[:, 2].astype(jnp.int32))
 
-        def bfs_body(_, lohi):
-            lo_i, hi_i = lohi
-            mid = (lo_i + hi_i) // 2
-            below = tables["bf_sel_cum"][
-                mgi, selbin, jnp.clip(mid, 0, ncont_b - 1)] < bf_target
-            return (jnp.where(below, mid + 1, lo_i),
-                    jnp.where(below, hi_i, mid))
+            def bf_skip(_):
+                zi = jnp.zeros_like(pk.cell)
+                return zi, jnp.ones_like(pk.e_cmf), zi
 
-        bflo, _ = jax.lax.fori_loop(
-            0, _nbits(ncont_b), bfs_body,
-            (jnp.zeros_like(pk.cell), jnp.full_like(pk.cell,
-                                                    ncont_b - 1)))
-        bf_cont = jnp.clip(bflo, 0,
-                           params.cont_nu_edge.shape[0] - 1)
-        prob_ma_bf = params.cont_nu_edge[bf_cont] \
-            / jnp.maximum(nu_cmf_n, 1.0)
+            bf_cont, bf_nu_edge, bf_upper = jax.lax.cond(
+                jnp.any(ev_bf), bf_compute, bf_skip, 0)
+        else:
+            row_tot = tables["bf_sel_cum"][mgi, selbin, ncont_b - 1]
+            bf_target = jnp.clip(u[:, 12], 0.0, 1.0) * row_tot
+
+            def bfs_body(_, lohi):
+                lo_i, hi_i = lohi
+                mid = (lo_i + hi_i) // 2
+                below = tables["bf_sel_cum"][
+                    mgi, selbin,
+                    jnp.clip(mid, 0, ncont_b - 1)] < bf_target
+                return (jnp.where(below, mid + 1, lo_i),
+                        jnp.where(below, hi_i, mid))
+
+            bflo, _ = jax.lax.fori_loop(
+                0, _nbits(ncont_b), bfs_body,
+                (jnp.zeros_like(pk.cell), jnp.full_like(pk.cell,
+                                                        ncont_b - 1)))
+            bf_cont = jnp.clip(bflo, 0,
+                               params.cont_nu_edge.shape[0] - 1)
+            bf_nu_edge = params.cont_nu_edge[bf_cont]
+            bf_upper = params.cont_upperlevel[bf_cont]
+        prob_ma_bf = bf_nu_edge / jnp.maximum(nu_cmf_n, 1.0)
         bf_to_ma = ev_bf & (u[:, 3] < prob_ma_bf)
-        upd(bf_to_ma, ptype=TYPE_MA,
-            ma_level=params.cont_upperlevel[bf_cont],
+        upd(bf_to_ma, ptype=TYPE_MA, ma_level=bf_upper,
             next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
         if "ion_stats" in est:
             # ION_PHOTOION(7), ENERGYIN_PHOTOION(23), ENERGYIN_TOTAL
-            ion_bf = _lvl_ion(params.cont_upperlevel[bf_cont])
+            ion_bf = _lvl_ion(bf_upper)
             w_bf = jnp.where(bf_to_ma, pk.e_cmf, 0.0)
             for col in (7, 23, 28):
                 est_ion = est_ion.at[mgi, ion_bf, col].add(w_bf)
@@ -1616,9 +2104,15 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # (closest_transition_empty resync, rpkt.cc:511-555)
         new_cell = jnp.clip(new["cell"], 0,
                             tables["cell_mgi"].shape[0] - 1)
-        new_mgi = tables["cell_mgi"][new_cell]
+        if has_cp:
+            cp2 = tables["cell_pack"][new_cell]
+            new_mgi = cp2[:, CP_MGI].astype(jnp.int32)
+            new_thick = cp2[:, CP_THICK] == 1
+        else:
+            new_mgi = tables["cell_mgi"][new_cell]
+            new_thick = tables["thick"][new_mgi] == 1
         left_detailed = cross & m_rpkt & (
-            (new_mgi >= nmodel) | (tables["thick"][new_mgi] == 1))
+            (new_mgi >= nmodel) | new_thick)
         upd(left_detailed, next_trans=jnp.int32(-1))
 
     upd(ev_r, dirvec=dir_r, nu_rf=nu_cmf_n / dopp_r,
@@ -1670,17 +2164,26 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                     sd, snx, lc_n = geo.boundary_cross_uniform(
                         posm, obs_b, tm, cellm, lcm, ncoord,
                         tables["pos_min"], tables["wid"])
-                mgi_l = tables["cell_mgi"][
-                    jnp.clip(cellm, 0, ncell_tot - 1)]
+                cell_l = jnp.clip(cellm, 0, ncell_tot - 1)
+                if has_cp:
+                    cp_l = tables["cell_pack"][cell_l]
+                    mgi_l = cp_l[:, CP_MGI].astype(jnp.int32)
+                else:
+                    mgi_l = tables["cell_mgi"][cell_l]
+
+                def march_scalar(key, col):
+                    return (cp_l[:, col] if has_cp
+                            else tables[key][mgi_l])
+
                 pm = posm + obs_b * (0.5 * sd)[:, None]
                 t_m = tm + 0.5 * sd
                 dpp = geo.doppler_packet(pm, obs_b, t_m, relativistic)
                 nu_c = nu_obs * dpp  # local comoving frequency
-                thick_l = tables["thick"][mgi_l] == 1
-                chi_l = tables["chi_grey"][mgi_l]
+                thick_l = march_scalar("thick", CP_THICK) == 1
+                chi_l = march_scalar("chi_grey", CP_CHI_GREY)
                 if detailed:
-                    Te_l = jnp.maximum(tables["Te"][mgi_l], 1.0)
-                    kff_l = (tables["kff_base"][mgi_l]
+                    Te_l = jnp.maximum(march_scalar("Te", CP_TE), 1.0)
+                    kff_l = (march_scalar("kff_base", CP_KFF)
                              * (jnp.maximum(nu_c, 1e12) / 1e15) ** -3
                              * (-jnp.expm1(-jnp.float32(H / KB)
                                            * nu_c / Te_l)))
@@ -1690,13 +2193,14 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                           / params.bf_dlognu).astype(jnp.int32)
                     in_b = (bl >= 0) & (bl < nbf_l)
                     blc = jnp.clip(bl, 0, nbf_l - 1)
-                    chibf_l = jnp.where(in_b,
-                                        tables["chi_bf"][mgi_l, blc],
-                                        0.0)
+                    chibf_l = jnp.where(
+                        in_b, bin_fetch(tables["chi_bf"], mgi_l, blc),
+                        0.0)
                     chiline_l = jnp.where(
-                        in_b, tables["chi_line_exp"][mgi_l, blc], 0.0)
-                    chi_det = (tables["chi_thomson"][mgi_l] + kff_l
-                               + chibf_l + chiline_l)
+                        in_b, bin_fetch(tables["chi_line_exp"],
+                                        mgi_l, blc), 0.0)
+                    chi_det = (march_scalar("chi_thomson", CP_CHI_TH)
+                               + kff_l + chibf_l + chiline_l)
                     chi_l = jnp.where(thick_l, chi_l, chi_det)
                 chi_l = jnp.where(mgi_l >= nmodel, 0.0, chi_l) * dpp
                 tau_n2 = taum + jnp.where(alive, chi_l * sd, 0.0)
