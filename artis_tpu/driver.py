@@ -129,8 +129,19 @@ class Simulation:
     def __init__(self, model: Model, cfg: SimConfig,
                  out_dir: Optional[str] = None, atomic_data=None,
                  phixs_data: Optional[PhixsData] = None,
-                 n_devices: Optional[int] = None, mesh=None):
+                 n_devices: Optional[int] = None, mesh=None,
+                 domain_decomp: bool = False):
         self.cfg = cfg
+        # grid domain decomposition (domain.py): per-cell transport
+        # tables sharded spatially over the device mesh with sorted
+        # all-to-all packet migration — the SURVEY.md §5.7 north star
+        # (the reference replicates the full grid on every rank).
+        # Mutually exclusive with the packet-data-parallel mesh.
+        self._dd_ndev = n_devices or len(jax.devices())
+        self._domain_decomp = bool(domain_decomp) and self._dd_ndev > 1
+        if self._domain_decomp:
+            mesh = None
+            n_devices = None
         if model.ndim == 2:
             # axisymmetric models propagate on a 3D Cartesian cube
             # (the reference uses a cylindrical grid,
@@ -1075,6 +1086,14 @@ class Simulation:
         pk = self.packets
         rf_nbins = self._rf_nbins()
         vp_shape = self._vp_shape()
+        if self._domain_decomp:
+            pk, est_dd = self._transport_domain(nts, tables, t2_sim)
+            self.packets = pk
+            est_np = {k: (float(v) if np.asarray(v).ndim == 0
+                          else np.asarray(v))
+                      for k, v in est_dd.items()}
+            return self._finish_timestep(nts, tmid, est_np, t_start,
+                                          verbose)
         est = zero_estimators(self.grid.nmodel, rf_nbins, vp_shape,
                               nlines_stat=self._nlines_stat(),
                               ion_stats_nions=self._ion_stats_nions(),
@@ -1182,6 +1201,68 @@ class Simulation:
 
         est_np = {k: float(v) if np.asarray(v).ndim == 0 else np.asarray(v)
                   for k, v in est.items()}
+        return self._finish_timestep(nts, tmid, est_np, t_start,
+                                      verbose)
+
+    def _transport_domain(self, nts, tables, t2_sim):
+        """Grid-domain-decomposed transport for one timestep
+        (domain.py): every per-cell table — including the detailed
+        [ncells, nlines] macro-atom/line-walk/bf packs — is sharded
+        spatially over the 'dd' mesh axis, and packets migrate to
+        their cell's owner device via sorted capacity-bounded
+        all-to-all rounds. This is the BASELINE north-star design the
+        reference cannot express (its transport grid is fully
+        replicated per rank, SURVEY.md §5.7)."""
+        from . import domain as dom
+        tab_np = {k: np.asarray(v) for k, v in tables.items()}
+        if not hasattr(self, "_dd_mesh"):
+            self._dd_mesh = dom.make_domain_mesh(self._dd_ndev)
+            self._dd_plan = dom.plan_decomposition(
+                tab_np["cell_mgi"], self.grid.nmodel,
+                self.grid.rho_init, self._dd_mesh.size,
+                self.cfg.npkts)
+        plan, mesh = self._dd_plan, self._dd_mesh
+        dtab, specs = dom.shard_domain_tables(tab_np, plan, mesh)
+        key_sig = frozenset(specs.keys())
+        if getattr(self, "_dd_step_sig", None) != key_sig:
+            self._dd_step = dom.make_domain_step(
+                mesh, plan, specs, grid_type=self._grid_static[0],
+                ncoord=self._grid_static[1],
+                rf_nbins=self._rf_nbins(), vp_shape=self._vp_shape(),
+                nlines_stat=self._nlines_stat(),
+                ion_stats_nions=self._ion_stats_nions(),
+                syn_emiss_bins=self._syn_emiss_bins(),
+                vgrid_shape=self._vgrid_shape(),
+                n_bfcont=self._n_bfcont(),
+                relativistic=self.cfg.use_relativistic_doppler,
+                detailed=self.detailed,
+                polarization=self.cfg.polarization_on,
+                vpkt=self.cfg.vpkt_on)
+            self._dd_step_sig = key_sig
+        pkd = dom.scatter_packets(self.packets, plan, mesh)
+        estd = dom.make_domain_est(
+            plan, mesh, self._rf_nbins(), self._vp_shape(),
+            nlines_stat=self._nlines_stat(),
+            ion_stats_nions=self._ion_stats_nions(),
+            syn_emiss_bins=self._syn_emiss_bins(),
+            vgrid_shape=self._vgrid_shape(),
+            n_bfcont=self._n_bfcont())
+        pkd, estd, rounds = dom.run_domain_timestep(
+            self._dd_step, pkd, estd, dtab, self.params, t2_sim,
+            nts == 0, self.base_key,
+            int(min(self._chunk_iters, 256)))
+        self._dd_rounds = rounds
+        pk = dom.gather_packets(pkd, plan, self.cfg.npkts)
+        est = dom.assemble_estimators(
+            jax.tree.map(np.asarray, estd), plan)
+        return pk, est
+
+    def _finish_timestep(self, nts, tmid, est_np, t_start, verbose):
+        """Post-transport bookkeeping shared by the packet-sharded and
+        domain-decomposed transport paths: estimator carry-over,
+        cumulative accumulators, per-timestep outputs and logging."""
+        pk = self.packets
+        cfg = self.cfg
         self.est_J_prev = est_np["J"]
         self.est_prev = {k: est_np[k] for k in
                          ("J", "nuJ", "ffheat", "colheat", "dep_cell")
