@@ -150,6 +150,14 @@ class Simulation:
             from .model import model_2d_to_3d
             model = model_2d_to_3d(model)
         self.model = model
+        if cfg.data_path:
+            # optional per-cell electron-fraction override
+            # (read_possible_yefile, grid.cc:528: "Ye.txt" in the run
+            # directory), consumed by the opacity_case-5 Tanaka table
+            yep = os.path.join(cfg.data_path, "Ye.txt")
+            if os.path.exists(yep):
+                from .model import apply_ye_file
+                apply_ye_file(model, yep)
         self.atomic_data = atomic_data
         # multi-device SPMD: packets sharded over the mesh "dp" axis,
         # estimators psum'ed per chunk (parallel.py; the analogue of

@@ -67,6 +67,9 @@ class Grid:
     # (modelgrid q column, grid.cc:1208 — reader already rescaled by
     # t_model/tmin); used with cfg.use_model_initial_energy
     init_energyq: Optional[np.ndarray] = None
+    # [nmodel] initial electron fraction (model cellYe column or the
+    # Ye.txt override, read_possible_yefile grid.cc:528); -1 = unset
+    init_ye: Optional[np.ndarray] = None
     opcase3_normal: float = 0.0
     rho_crit: float = 0.0
     mtot_input: float = 0.0
@@ -153,6 +156,9 @@ def build_grid(model: Model, cfg: SimConfig) -> Grid:
         init_energyq=(np.asarray(model.init_energyq, np.float64)
                       if getattr(model, "init_energyq", None) is not None
                       else None),
+        init_ye=(np.asarray(model.init_ye, np.float64)
+                 if getattr(model, "init_ye", None) is not None
+                 else None),
     )
     g.mtot_input = float(np.sum(rho_init * vol))
     g.mfeg = float(np.sum(rho_init * vol * g.ffegrp))
@@ -197,9 +203,14 @@ def calculate_kappagrey(g: Grid, cfg: SimConfig):
         kappa = k3 * g.opcase3_normal
     elif oc == 5:
         # electron-fraction-dependent kilonova opacities
-        # (Tanaka et al. 2020 table 1; grid.cc:674-693)
+        # (Tanaka et al. 2020 table 1; grid.cc:674-693). The reference
+        # uses the model's initial electron fraction (cellYe column or
+        # the Ye.txt override, read_possible_yefile grid.cc:528);
+        # without one, fall back to the composition estimate.
         ye = g.elem_abund @ (np.arange(1, MAX_Z_ABUND + 1) / ATOMIC_WEIGHTS)
         ye = np.where(ye > 0, ye, 0.25)
+        if getattr(g, "init_ye", None) is not None:
+            ye = np.where(g.init_ye >= 0, g.init_ye, ye)
         kappa = np.select(
             [ye <= 0.1, ye <= 0.15, ye <= 0.2, ye <= 0.25, ye <= 0.3,
              ye <= 0.35],

@@ -508,3 +508,58 @@ def make_toy_3d_model(ncoord: int = 16, vmax: float = 2.5e9,
     return Model(ndim=3, t_model=t_model, vmax=float(vmax), rho=rho_tmin,
                  ffegrp=ffegrp, initradioabund=abund, nuclide_table=nt,
                  elem_abund=elem, ncoord3d=(ncoord, ncoord, ncoord))
+
+
+def read_ye_file(path: str, nmodel: int) -> np.ndarray:
+    """Ye.txt: per-cell initial electron fraction override
+    (read_possible_yefile, grid.cc:528-553). Format: first line =
+    row count, then ``mgi+1  Ye`` rows; out-of-range rows ignored.
+    Returns a [nmodel] array with -1 where no value was given."""
+    ye = np.full(nmodel, -1.0)
+    with open(path) as f:
+        n = int(f.readline().split()[0])
+        for _ in range(n):
+            parts = f.readline().split()
+            if len(parts) < 2:
+                continue
+            mgi = int(parts[0]) - 1
+            if 0 <= mgi < nmodel:
+                ye[mgi] = float(parts[1])
+    return ye
+
+
+def apply_ye_file(model: Model, path: str) -> None:
+    """Apply a Ye.txt override onto ``model.init_ye`` (cells without a
+    row keep the model-file value)."""
+    ye = read_ye_file(path, model.ncells)
+    base = (model.init_ye if model.init_ye is not None
+            else np.full(model.ncells, -1.0))
+    model.init_ye = np.where(ye >= 0, ye, base)
+
+
+def read_gridcontributions(path: str):
+    """gridcontributions.txt: SPH/trajectory particle -> model cell
+    mass-fraction contributions shipped with kilonova models (present
+    in the reference's kilonova test data; consumed by its artistools
+    preprocessing rather than sn3d itself). Returns a dict of column
+    arrays: particleid, cellindex (1-based in file, converted to
+    0-based), frac_of_cellmass, frac_of_cellmass_includemissing."""
+    pid, cell, frac, fracm = [], [], [], []
+    with open(path) as f:
+        header = f.readline().split()
+        ncols = len(header)
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            pid.append(int(parts[0]))
+            cell.append(int(parts[1]) - 1)
+            frac.append(float(parts[2]))
+            fracm.append(float(parts[3]) if ncols > 3
+                         and len(parts) > 3 else float(parts[2]))
+    return {
+        "particleid": np.asarray(pid, np.int64),
+        "cellindex": np.asarray(cell, np.int64),
+        "frac_of_cellmass": np.asarray(frac),
+        "frac_of_cellmass_includemissing": np.asarray(fracm),
+    }

@@ -226,6 +226,19 @@ def zero_estimators(nmodel: int, radfield_nbins: int = 0,
         "interactions": jnp.int32(0), "iterations": jnp.int32(0),
         "ma_activations": jnp.int32(0), "ma_deact_rad": jnp.int32(0),
         "ma_deact_col": jnp.int32(0), "ma_jumps": jnp.int32(0),
+        # 1:1 parity with the reference's event counters
+        # (stats.h:48-84; pkt_action_counters_printout stats.cc:171):
+        # every reference counter with a kernel-side event has a row
+        **{k: jnp.int32(0) for k in (
+            "ma_act_collexc", "ma_act_collion", "ma_act_ntcollexc",
+            "ma_act_ntcollion", "ma_act_bf", "ma_deact_colldeexc",
+            "ma_deact_collrecomb", "ma_deact_bb", "ma_deact_fb",
+            "ma_internaluphigher", "ma_internaldownlower",
+            "k_to_r_ff", "k_to_r_fb", "k_to_r_bb", "k_from_ff",
+            "k_from_bf", "nt_from_gamma", "nt_to_ionization",
+            "nt_to_excitation", "nt_to_kpkt",
+            "k_from_earlierdecay", "resonancescatterings",
+            "upscatter", "downscatter")},
     }
 
 
@@ -701,7 +714,16 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     cnt = {k: jnp.int32(0) for k in
            ("pellet_decays", "escounter", "cellcrossings", "nesc",
             "interactions", "ma_activations", "ma_deact_rad",
-            "ma_deact_col", "ma_jumps")}
+            "ma_deact_col", "ma_jumps",
+            "ma_act_collexc", "ma_act_collion", "ma_act_ntcollexc",
+            "ma_act_ntcollion", "ma_act_bf", "ma_deact_colldeexc",
+            "ma_deact_collrecomb", "ma_deact_bb", "ma_deact_fb",
+            "ma_internaluphigher", "ma_internaldownlower",
+            "k_to_r_ff", "k_to_r_fb", "k_to_r_bb", "k_from_ff",
+            "k_from_bf", "nt_from_gamma", "nt_to_ionization",
+            "nt_to_excitation", "nt_to_kpkt",
+            "k_from_earlierdecay", "resonancescatterings",
+            "upscatter", "downscatter")}
 
     def msum(mask, x):
         return jnp.sum(jnp.where(mask, x, 0.0))
@@ -773,6 +795,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     # clamp above would erase the energy reduction
     upd(m_pre, ptype=TYPE_PRE_KPKT, e_cmf=pk.e_cmf * pk.tdecay,
         prop_time=jnp.float32(1.0))
+    cnt["k_from_earlierdecay"] += mcount(m_pre)
 
     # =====================================================================
     # phase A2: non-thermal deposit (do_nonthermal_predeposit,
@@ -933,8 +956,14 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                 next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
         upd(m_lep & ~lep_ion & ~lep_exc, ptype=TYPE_KPKT,
             nscatterings=jnp.int32(0))
+        cnt["nt_to_ionization"] += mcount(lep_ion)
+        cnt["ma_act_ntcollion"] += mcount(lep_ion)
+        cnt["nt_to_excitation"] += mcount(lep_exc)
+        cnt["ma_act_ntcollexc"] += mcount(lep_exc)
+        cnt["nt_to_kpkt"] += mcount(m_lep & ~lep_ion & ~lep_exc)
     else:
         upd(m_lep, ptype=TYPE_KPKT, nscatterings=jnp.int32(0))
+        cnt["nt_to_kpkt"] += mcount(m_lep)
 
     # =====================================================================
     # phase A2b: macro-atom jump (do_macroatom, macroatom.cc:416-901):
@@ -1219,6 +1248,22 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         colheat_contrib = jnp.where(ma_col, pk.e_cmf, 0.0)
         cnt["ma_deact_rad"] += mcount(ma_rad | ma_radrec)
         cnt["ma_deact_col"] += mcount(ma_col)
+        cnt["ma_deact_bb"] += mcount(ma_rad)
+        cnt["ma_deact_fb"] += mcount(ma_radrec)
+        cnt["ma_deact_colldeexc"] += mcount(
+            m_ma & ~ma_stuck & (k_proc == 1))
+        cnt["ma_deact_collrecomb"] += mcount(
+            m_ma & ~ma_stuck & (k_proc == 5))
+        cnt["ma_internaluphigher"] += mcount(ma_uphigher)
+        cnt["ma_internaldownlower"] += mcount(ma_downlower)
+        # emitted-vs-absorbed comparison: at MA activation nu_cmf is
+        # the absorbed line's cmf frequency, so the deexcitation line
+        # classifies as resonance / up / down scatter
+        # (do_macroatom_raddeexcitation, macroatom.cc:253-260)
+        cnt["resonancescatterings"] += mcount(
+            ma_rad & (nu_ma == pk.nu_cmf))
+        cnt["upscatter"] += mcount(ma_rad & (nu_ma > pk.nu_cmf))
+        cnt["downscatter"] += mcount(ma_rad & (nu_ma < pk.nu_cmf))
         cnt["ma_jumps"] += mcount(ma_down | ma_up_j | ma_downlower
                                   | ma_uphigher)
 
@@ -1405,6 +1450,10 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         # ion target level (kpkt.cc:762-820)
         upd(k_ion, ptype=TYPE_MA, ma_level=ci_upper_t,
             next_trans=jnp.int32(-1))
+        cnt["k_to_r_ff"] += mcount(k_ff)
+        cnt["k_to_r_fb"] += mcount(k_fb)
+        cnt["ma_act_collexc"] += mcount(k_exc)
+        cnt["ma_act_collion"] += mcount(k_ion)
         if "ion_stats" in est:
             # ENERGYIN_COLLION(25), ENERGYIN_TOTAL(28)
             ion_ki = _lvl_ion(ci_upper_t)
@@ -1425,6 +1474,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         p_chi = interp_cmp(H * params.nu_max_r / (KB * Tsafe_p),
                            xs_p, cdf_p)
     nu_pl = sample_planck_nu_cp(u[:, 3], Te, p_clo, p_chi, params)
+    cnt["k_to_r_bb"] += mcount(m_kbb)
     upd(m_kbb, ptype=TYPE_RPKT, nu_cmf=nu_pl, nu_rf=nu_pl / dopp_k,
         e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
         last_cross=geo.BOUNDARY_NONE, em_time=t_k,
@@ -1870,6 +1920,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     # gamma deposition accounting (do_packet, update_packets.cc:148-155)
     gam_deposited = m_gam & (new["ptype"] != TYPE_GAMMA) \
         & (new["ptype"] != TYPE_ESCAPE)
+    cnt["nt_from_gamma"] += mcount(
+        gam_deposited & (new["ptype"] == TYPE_NTLEPTON))
     scal["gamma_dep"] += msum(gam_deposited, e_cmf_n)
     dep_contrib = jnp.where(gam_deposited, e_cmf_n, 0.0) \
         + jnp.where(m_nt | (m_particle & is_bplus), pk.e_cmf, 0.0)
@@ -2009,6 +2061,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             nscatterings=jnp.int32(0),
             absorptiontype=jnp.int32(ABSTYPE_FREEFREE))
         cnt["escounter"] += mcount(ev_escat)
+        cnt["k_from_ff"] += mcount(ev_ff)
 
         # bound-free absorption: select the continuum from the coarse
         # per-(cell, nu-bin) cumulative weights, then activate the
@@ -2094,6 +2147,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                 est_ion = est_ion.at[mgi, ion_bf, col].add(w_bf)
         upd(ev_bf & ~bf_to_ma, ptype=TYPE_KPKT,
             next_trans=jnp.int32(-1), nscatterings=jnp.int32(0))
+        cnt["ma_act_bf"] += mcount(bf_to_ma)
+        cnt["k_from_bf"] += mcount(ev_bf & ~bf_to_ma)
         n_line_pass = mcount(line_pass)
 
         # remember the candidate line index for packets that moved

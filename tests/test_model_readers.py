@@ -126,3 +126,40 @@ def test_2d_model_runs_e2e(tmp_path):
     assert sim.grid.ndim == 3
     sim.run(checkpoint=False, verbose=False)
     assert sum(d["pellet_decays"] for d in sim.dep_log) > 0
+
+
+def test_ye_file_override(tmp_path):
+    """Ye.txt overrides the per-cell initial electron fraction
+    (read_possible_yefile, grid.cc:528-553) and drives the Tanaka
+    opacity table in opacity_case 5."""
+    import numpy as np
+    from artis_tpu import SimConfig, make_toy_1d_model
+    from artis_tpu.model import apply_ye_file, read_ye_file
+    from artis_tpu.grid import build_grid
+
+    cfg = SimConfig(npkts=10, ntimesteps=2, tmin_days=2.0,
+                    tmax_days=4.0, ftstep=2, opacity_case=5)
+    model = make_toy_1d_model(nshells=4, tmin=cfg.tmin)
+    yef = tmp_path / "Ye.txt"
+    # rows: cells 1 and 3 (1-based), plus an ignored out-of-range row
+    yef.write_text("3\n1 0.05\n3 0.32\n99 0.5\n")
+    ye = read_ye_file(str(yef), model.ncells)
+    assert ye[0] == 0.05 and ye[2] == 0.32 and ye[1] == -1.0
+    apply_ye_file(model, str(yef))
+    g = build_grid(model, cfg)
+    # Tanaka et al. 2020 table 1: Ye<=0.1 -> 19.5; 0.3<Ye<=0.35 -> 3.3
+    assert g.kappagrey[0] == 19.5
+    assert g.kappagrey[2] == 3.3
+
+
+def test_gridcontributions_reader(tmp_path):
+    from artis_tpu.model import read_gridcontributions
+    f = tmp_path / "gridcontributions.txt"
+    f.write_text(
+        "particleid cellindex frac_of_cellmass "
+        "frac_of_cellmass_includemissing\n"
+        "124824 1 0.9073 0.9073\n130686 2 0.0004 0.0005\n")
+    gc = read_gridcontributions(str(f))
+    assert gc["particleid"].tolist() == [124824, 130686]
+    assert gc["cellindex"].tolist() == [0, 1]  # converted to 0-based
+    assert gc["frac_of_cellmass_includemissing"][1] == 0.0005
