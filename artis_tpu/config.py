@@ -63,6 +63,14 @@ class SimConfig:
     cell_is_optically_thick: float = 8.0  # grey-depth threshold
     num_grey_timesteps: int = 999
     use_relativistic_doppler: bool = False
+    # propagate a 1D (or 2D) model on the uniform 3D Cartesian grid
+    # instead of the native spherical grid — the reference's default
+    # kilonova mode (GRID_TYPE=GRID_UNIFORM with a 1D model,
+    # map_1dmodeltogrid grid.cc:910); grid_ncoord matches the
+    # reference's default ncoordgrid=50 (uniform_grid_setup,
+    # grid.cc:2055-2068)
+    grid_force_uniform: bool = False
+    grid_ncoord: int = 50
 
     # kpkt diffusion smoothing (input.txt line 25)
     kpktdiffusion_timescale: float = 0.0

@@ -367,9 +367,9 @@ class Simulation:
             q_cell = q_cell + np.asarray(self.grid.init_energyq,
                                          np.float64)
         mgi = self.grid.cell_mgi
-        etot = float(np.sum(self.grid.vol_init[mgi]
+        etot = float(np.sum(self.grid.vol_gridcell
                             * self.grid.rho_init[mgi]
-                            * q_cell[mgi]))
+                            * q_cell[mgi] * self.grid.cell_keep))
         self.units = make_units(cfg, etot)
         batch, etot2 = init_pellets(cfg, self.grid, self.dm, self.units)
         assert abs(etot2 / etot - 1) < 1e-9
@@ -1113,10 +1113,16 @@ class Simulation:
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
         t2_f32 = jnp.float32(t2_sim)
         # host-side snapshot for in-process recovery from a device /
-        # tunnel worker crash (taken after every successful chunk;
-        # ~10 ms for a megabatch, negligible next to a chunk)
+        # tunnel worker crash. Snapshots are device->host transfers of
+        # the full megabatch over the TUNNEL (tens of MB), so they are
+        # taken on a time cadence, not per chunk — a crash redoes at
+        # most ~snap_every seconds of transport. snap and snap_stack
+        # are captured together (the compaction stack must match the
+        # snapshotted batch's shape).
         snap = None
         snap_stack: list[tuple[dict, np.ndarray]] = []
+        snap_every = 45.0
+        last_snap_t = _time.time()
         crash_retries = 0
         pending_restore = False
         while True:
@@ -1170,13 +1176,15 @@ class Simulation:
                 self._chunk_iters = max(32, self._chunk_iters // 4)
                 continue
             crash_retries = 0
-            # stack entries are immutable once pushed: snapshot only
-            # the new ones
-            while len(snap_stack) < len(compact_stack):
-                p, i = compact_stack[len(snap_stack)]
-                snap_stack.append((to_numpy(p), np.asarray(i)))
-            snap = (to_numpy(pk),
-                    {k: np.asarray(v) for k, v in est.items()})
+            if _time.time() - last_snap_t >= snap_every:
+                # stack entries are immutable once pushed: snapshot
+                # only the new ones
+                while len(snap_stack) < len(compact_stack):
+                    p, i = compact_stack[len(snap_stack)]
+                    snap_stack.append((to_numpy(p), np.asarray(i)))
+                snap = (to_numpy(pk),
+                        {k: np.asarray(v) for k, v in est.items()})
+                last_snap_t = _time.time()
             dt_chunk = _time.time() - t_chunk
             iters_done += self._chunk_iters
             # keep device executions in a 4..20 s band (the tunnel can

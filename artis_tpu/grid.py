@@ -74,6 +74,11 @@ class Grid:
     rho_crit: float = 0.0
     mtot_input: float = 0.0
     mfeg: float = 0.0
+    # [ngrid] True where a propagation cell lies outside the ejecta
+    # sphere (radial pos >= rmax) when a lower-dimensional model is
+    # mapped onto the 3D Cartesian grid (map_1dmodeltogrid,
+    # grid.cc:910-940: those cells get the npts_model sentinel)
+    cell_outside: Optional[np.ndarray] = None
 
     @property
     def ndim(self) -> int:
@@ -81,6 +86,25 @@ class Grid:
 
     def cellcoordmax(self, cellindex: int, axis: int) -> float:
         return self.pos_min[cellindex, axis] + self.wid[cellindex]
+
+    @property
+    def cell_keep(self) -> np.ndarray:
+        """[ngrid] True where a propagation cell has an associated
+        non-empty model cell (reference: mgi != npts_model and
+        rho_init > 0)."""
+        keep = self.rho_init[self.cell_mgi] > 0
+        if self.cell_outside is not None:
+            keep = keep & ~self.cell_outside
+        return keep
+
+    @property
+    def vol_gridcell(self) -> np.ndarray:
+        """[ngrid] propagation-cell volume at tmin (vol_init_gridcell,
+        grid.cc:110-123): the cube volume on the uniform grid, the
+        shell volume on the spherical grid."""
+        if self.grid_type == GRID_SPHERICAL1D:
+            return self.vol_init[self.cell_mgi]
+        return np.asarray(self.wid, np.float64) ** 3
 
 
 def build_grid(model: Model, cfg: SimConfig) -> Grid:
@@ -90,7 +114,43 @@ def build_grid(model: Model, cfg: SimConfig) -> Grid:
     vmax = model.vmax
     rmax = vmax * tmin
 
-    if model.ndim == 1:
+    cell_outside = None
+    if model.ndim == 1 and cfg.grid_force_uniform:
+        # 1D model mapped onto the uniform 3D Cartesian propagation
+        # grid — the reference's default kilonova mode
+        # (GRID_TYPE=GRID_UNIFORM with a 1D model;
+        # map_1dmodeltogrid, grid.cc:910-940)
+        n = model.ncells
+        nc = cfg.grid_ncoord
+        ngrid = nc ** 3
+        grid_type = GRID_UNIFORM
+        ncoordgrid = (nc, nc, nc)
+        widval = 2.0 * rmax / nc
+        idx = np.arange(ngrid)
+        ix = idx % nc
+        iy = (idx // nc) % nc
+        iz = idx // (nc * nc)
+        pos_min = np.stack([
+            -rmax + ix * widval, -rmax + iy * widval,
+            -rmax + iz * widval,
+        ], axis=1)
+        wid = np.full(ngrid, widval)
+        centre = pos_min + 0.5 * widval
+        radial_pos = np.linalg.norm(centre, axis=1)
+        vcell = radial_pos / tmin
+        cell_mgi = np.minimum(
+            np.searchsorted(model.vout, vcell, side="left"),
+            n - 1).astype(np.int32)
+        cell_outside = radial_pos >= rmax
+        # model-cell volume = cube volume x associated propagation
+        # cells (vol_init_modelcell, grid.cc:93-108); the estimator
+        # normalisation uses this simulated volume, not the analytic
+        # shell volume (grid.cc:1637 comment)
+        rho_model = np.asarray(model.rho, np.float64)
+        keep = ~cell_outside & (rho_model[cell_mgi] > 0)
+        assoc = np.bincount(cell_mgi[keep], minlength=n)
+        vol = widval ** 3 * assoc
+    elif model.ndim == 1:
         # spherical shells; propagation cell == model cell
         n = model.ncells
         vout = model.vout
@@ -134,6 +194,12 @@ def build_grid(model: Model, cfg: SimConfig) -> Grid:
 
     nmodel = model.ncells
     rho_init = np.asarray(model.rho, dtype=np.float64)
+    if cell_outside is not None:
+        # model shells with no associated propagation cells are empty
+        # (the reference drops them from the nonempty-cell list,
+        # grid.cc:862-870); zero density keeps every solver and
+        # estimator normalisation away from their 0 simulated volume
+        rho_init = np.where(np.asarray(vol) > 0, rho_init, 0.0)
 
     # empty-cell handling: cells with zero density are mapped to the
     # empty sentinel mgi == nmodel (allocate_nonemptymodelcells analogue)
@@ -159,6 +225,7 @@ def build_grid(model: Model, cfg: SimConfig) -> Grid:
         init_ye=(np.asarray(model.init_ye, np.float64)
                  if getattr(model, "init_ye", None) is not None
                  else None),
+        cell_outside=cell_outside,
     )
     g.mtot_input = float(np.sum(rho_init * vol))
     g.mfeg = float(np.sum(rho_init * vol * g.ffegrp))
@@ -186,10 +253,13 @@ def calculate_kappagrey(g: Grid, cfg: SimConfig):
         kappa = ((0.9 * fe + 0.1) * cfg.grey_op
                  / (0.9 * g.mfeg / g.mtot_input + 0.1))
     elif oc == 2:
-        # normalised so the density-weighted mean opacity is GREY_OP
-        rho_sum = float(np.sum(rho[g.cell_mgi]))
-        fe_sum = float(np.sum(fe[g.cell_mgi]))
-        nonempty = int(np.sum(rho[g.cell_mgi] > 0))
+        # normalised so the density-weighted mean opacity is GREY_OP;
+        # sums run over kept propagation cells (grid.cc opcase loops
+        # skip the npts_model sentinel)
+        kc = g.cell_keep
+        rho_sum = float(np.sum(rho[g.cell_mgi[kc]]))
+        fe_sum = float(np.sum(fe[g.cell_mgi[kc]]))
+        nonempty = int(np.sum(rho[g.cell_mgi[kc]] > 0))
         opcase2_normal = (cfg.grey_op * rho_sum
                           / (0.9 * fe_sum + 0.1 * nonempty))
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -197,8 +267,9 @@ def calculate_kappagrey(g: Grid, cfg: SimConfig):
     elif oc == 3:
         k3 = 0.9 * fe + 0.1
         k3 = np.where(rho > g.rho_crit, k3 * g.rho_crit / np.maximum(rho, 1e-300), k3)
-        rho_sum = float(np.sum(rho[g.cell_mgi]))
-        opcase3_sum = float(np.sum((k3 * rho)[g.cell_mgi]))
+        kc = g.cell_keep
+        rho_sum = float(np.sum(rho[g.cell_mgi[kc]]))
+        opcase3_sum = float(np.sum((k3 * rho)[g.cell_mgi[kc]]))
         g.opcase3_normal = cfg.grey_op * rho_sum / max(opcase3_sum, 1e-300)
         kappa = k3 * g.opcase3_normal
     elif oc == 5:
@@ -312,8 +383,8 @@ def grid_device_tables(g: Grid, cfg: SimConfig, units: Units,
     # scatter-adds land in the dummy slot, as in the reference where
     # empty propagation cells have no associated model cell
     # (grid.cc get_propcell_modelgridindex / npts_model sentinel)
-    cell_mgi_dev = np.where(g.rho_init[g.cell_mgi] > 0,
-                            g.cell_mgi, g.nmodel).astype(np.int32)
+    cell_mgi_dev = np.where(g.cell_keep, g.cell_mgi,
+                            g.nmodel).astype(np.int32)
 
     tables = {
         "cell_mgi": jnp.asarray(cell_mgi_dev, dtype=jnp.int32),

@@ -129,7 +129,8 @@ def init_pellets(cfg: SimConfig, g: Grid, dm: decay_mod.DecayModel,
 
     # energy per propagation cell (packet_init, packet.cc:86-104)
     mgi = g.cell_mgi
-    cell_energy = g.vol_init[mgi] * g.rho_init[mgi] * q_cell[mgi]
+    cell_energy = (g.vol_gridcell * g.rho_init[mgi] * q_cell[mgi]
+                   * g.cell_keep)
     etot = float(cell_energy.sum())
     assert etot > 0, "no radioactive energy in the simulated time range"
     e0 = etot / cfg.npkts

@@ -37,7 +37,11 @@ def normalise_J(est_J_sim: np.ndarray, g: Grid, units: Units,
     deltaV = g.vol_init * (tmid / g.tmin) ** 3
     J_cgs = (np.asarray(est_J_sim[:g.nmodel], dtype=np.float64)
              * units.x_unit * units.e0)
-    return J_cgs / (FOURPI * deltaV * deltat)
+    # model cells with no associated propagation cells have zero
+    # simulated volume (and no contributions): J := 0 there
+    return np.where(deltaV > 0,
+                    J_cgs / (FOURPI * np.maximum(deltaV, 1e-300)
+                             * deltat), 0.0)
 
 
 def update_grid_common(g: Grid, dm: DecayModel, cfg: SimConfig,

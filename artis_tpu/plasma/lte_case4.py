@@ -34,8 +34,9 @@ def update_thick_flags(g: Grid, cfg: SimConfig, nts: int, tmid: float):
         centre = g.pos_min + 0.5 * g.wid[:, None]
         radial_pos_cell = np.linalg.norm(centre, axis=1) * trat
         radial_pos = np.zeros(g.nmodel)
-        np.add.at(radial_pos, g.cell_mgi, radial_pos_cell)
-        counts = np.bincount(g.cell_mgi, minlength=g.nmodel)
+        kc = g.cell_keep
+        np.add.at(radial_pos, g.cell_mgi[kc], radial_pos_cell[kc])
+        counts = np.bincount(g.cell_mgi[kc], minlength=g.nmodel)
         radial_pos /= np.maximum(counts, 1)
     grey_depth = g.kappagrey * g.rho * (g.rmax * trat - radial_pos)
     g.grey_depth = np.where(g.rho_init > 0, grey_depth, 0.0)

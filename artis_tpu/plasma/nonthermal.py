@@ -246,6 +246,7 @@ class SpencerFanoSolver:
 
         # precompute per-line excitation cross sections on the grid
         self._prep_excitation()
+        self._prep_ionization()
 
         # solution-reuse state (nonthermal.cc:2559-2581): keep a
         # cell's previous solution while nne-per-ion drifted less
@@ -296,10 +297,144 @@ class SpencerFanoSolver:
                          * g_bar / U)
             xs[k] = np.where(en * EV >= eps, np.maximum(xs[k], 0.0), 0.0)
         self.exc_xs = xs  # [nlines_used, SFPTS]
+        # line widths in grid steps for the diagonal-band fill
+        self.exc_w = np.minimum(np.maximum(
+            np.rint(self.exc_eps_ev / self.de).astype(int), 1),
+            self.sfpts)
+
+    def _prep_ionization(self):
+        """Precompute static per-collion-row arrays used by the batched
+        matrix assembly and the solution analysis (the per-row cross
+        sections and Auger probabilities are cell-independent; only the
+        ion number densities vary per cell)."""
+        ad = self.ad
+        key2ion = {}
+        for i in range(ad.nions_total):
+            z = int(ad.elem_z[ad.ion_element[i]])
+            stage = int(ad.ion_stage[i])
+            key2ion[(z, z - stage + 1)] = i
+        rows = [r for r in self.collion if (r.Z, r.nelec) in key2ion]
+        self.ion_rows = rows
+        namax = NT_MAX_AUGER_ELECTRONS
+        if rows:
+            self.row_ion = np.array(
+                [key2ion[(r.Z, r.nelec)] for r in rows], int)
+            self.row_ionpot = np.array([r.ionpot_ev for r in rows])
+            self.row_pa = np.array([r.prob_num_auger for r in rows])
+            self.row_xs = np.stack(
+                [xs_impact_ionization(self.en, r) for r in rows])
+            # rows entering the SF matrix (matches the single-cell
+            # builder: shells with ionpot below the grid are analysed
+            # but not added to the degradation matrix)
+            self.row_in_matrix = self.row_ionpot >= self.emin
+        else:
+            self.row_ion = np.zeros(0, int)
+            self.row_ionpot = np.zeros(0)
+            self.row_pa = np.zeros((0, namax + 1))
+            self.row_xs = np.zeros((0, self.sfpts))
+            self.row_in_matrix = np.zeros(0, bool)
+        # row -> ion one-hot for per-ion reductions
+        self.row_onehot = np.zeros((len(rows), ad.nions_total))
+        if len(rows):
+            self.row_onehot[np.arange(len(rows)), self.row_ion] = 1.0
+        # lazy cache of the cell-independent per-ion ionisation
+        # matrices K_ion (sum over that ion's shells); only kept when
+        # the total fits a modest memory budget
+        self._K_ion_cache: Optional[dict] = None
+        n_ions_with_rows = len(set(self.row_ion[self.row_in_matrix]))
+        if n_ions_with_rows * self.sfpts**2 * 8 <= 1.5e9:
+            self._K_ion_cache = {}
+
+    def _ionization_K(self, row: CollIonRow) -> np.ndarray:
+        """Cell-independent SF-matrix contribution of one collion
+        shell, to be scaled by the cell's ion number density
+        (sfmatrix_add_ionization, nonthermal.cc:2343-2460)."""
+        en, de, sfpts = self.en, self.de, self.sfpts
+        I = row.ionpot_ev
+        J = _get_J(row.Z, row.Z - row.nelec + 1, I)
+        xs = xs_impact_ionization(en, row)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            eps_up = np.minimum((en + I) / 2, en)
+            int_eps_upper = np.arctan((eps_up - I) / J)
+            denom = np.arctan((en - I) / 2 / J)
+            pref = np.where(denom > 0, xs / denom, 0.0)
+        EN_I, EN_J = np.meshgrid(en, en, indexing="ij")
+        eps_lower = np.maximum(EN_J - EN_I, I)
+        iel = np.arctan((eps_lower - I) / J)
+        K = np.where(EN_J >= EN_I,
+                     pref[None, :] * np.maximum(
+                         int_eps_upper[None, :] - iel, 0.0) * de, 0.0)
+        iel2 = np.arctan(EN_I / J)
+        K -= np.where(EN_J >= 2 * EN_I + I,
+                      pref[None, :] * np.maximum(
+                          int_eps_upper[None, :] - iel2, 0.0) * de, 0.0)
+        if row.en_auger_ev > 0.0:
+            K -= np.where((EN_I < row.en_auger_ev) & (EN_J >= EN_I),
+                          xs[None, :], 0.0)
+        return K
 
     # -- matrix assembly ---------------------------------------------
-    def _build_matrix(self, nne: float, levelpops_cell: np.ndarray,
-                      ion_numberdens_cell: np.ndarray) -> np.ndarray:
+    def _build_matrices(self, nne: np.ndarray, levelpops: np.ndarray,
+                        ion_numberdens: np.ndarray) -> np.ndarray:
+        """Batched SF matrix assembly: M [B, sfpts, sfpts] for B cells
+        at once.  All physics contributions are linear in per-cell
+        densities, so the expensive [sfpts, sfpts] shapes are built
+        once (per collion shell / per line-width diagonal) and scaled
+        into the batch, instead of per cell (replaces the reference's
+        per-cell sfmatrix assembly, nonthermal.cc:2282-2460)."""
+        B = len(nne)
+        sfpts, en, de = self.sfpts, self.en, self.de
+        ad = self.ad
+        M = np.zeros((B, sfpts, sfpts))
+
+        # continuous energy loss (diagonal), per cell
+        diag = np.stack([electron_loss_rate(en * EV, float(n)) / EV
+                         for n in nne])
+        M[:, np.arange(sfpts), np.arange(sfpts)] += diag
+
+        # impact excitation: lines grouped by band width w; for each
+        # diagonal offset d, every line with w > d contributes
+        # de * nnlevel * xs on that diagonal.  Sweep d from widest to
+        # 0, accumulating group contributions into a running sum.
+        if len(self.exc_lines):
+            nl_exc = np.maximum(
+                levelpops[:, ad.line_lower[self.exc_lines]], 0.0)
+            widths = self.exc_w
+            w_vals = np.unique(widths)[::-1]  # descending
+            S = np.zeros((B, sfpts))
+            gi = 0
+            jj = np.arange(sfpts)
+            for d in range(int(w_vals[0]) - 1, -1, -1):
+                while gi < len(w_vals) and w_vals[gi] > d:
+                    sel = widths == w_vals[gi]
+                    S += nl_exc[:, sel] @ self.exc_xs[sel]
+                    gi += 1
+                j = jj[d:]
+                M[:, j - d, j] += de * S[:, j]
+
+        # impact ionisation: per-ion cell-independent matrices scaled
+        # by the cell's ion number density
+        use = self.row_in_matrix
+        for i in np.unique(self.row_ion[use]) if len(self.row_ion) \
+                else []:
+            scale = ion_numberdens[:, i]
+            if not np.any(scale > 0):
+                continue
+            K = None
+            if self._K_ion_cache is not None:
+                K = self._K_ion_cache.get(int(i))
+            if K is None:
+                K = np.zeros((sfpts, sfpts))
+                for r, row in enumerate(self.ion_rows):
+                    if use[r] and self.row_ion[r] == i:
+                        K += self._ionization_K(row)
+                if self._K_ion_cache is not None:
+                    self._K_ion_cache[int(i)] = K
+            M += scale[:, None, None] * K[None]
+        return M
+
+    def _build_matrix_ref(self, nne: float, levelpops_cell: np.ndarray,
+                          ion_numberdens_cell: np.ndarray) -> np.ndarray:
         sfpts, en, de = self.sfpts, self.en, self.de
         ad = self.ad
         M = np.zeros((sfpts, sfpts))
@@ -408,86 +543,91 @@ class SpencerFanoSolver:
         enfrac_auger[:, :, 0] = 1.0
         ys = np.zeros((ncells, self.sfpts)) if store_y else None
 
-        for c in range(ncells):
-            if nne[c] <= 0:
-                frac_heat[c] = 1.0
-                continue
-            if reuse[c]:
-                last = self._last
-                frac_heat[c] = last.frac_heating[c]
-                frac_ion[c] = last.frac_ionization[c]
-                frac_exc[c] = last.frac_excitation[c]
-                exc_frac[c] = last.exc_frac[c]
-                ion_rate[c] = last.ion_rate_per_dep[c]
-                prob_auger[c] = last.prob_num_auger[c]
-                enfrac_auger[c] = last.ionenfrac_num_auger[c]
-                continue
-            M = self._build_matrix(float(nne[c]), levelpops[c],
-                                   ion_numberdens[c])
-            y = np.linalg.solve(M, self.rhs)
+        nne_arr = np.asarray(nne, np.float64)
+        frac_heat[nne_arr <= 0] = 1.0
+        if reuse.any():
+            last = self._last
+            frac_heat[reuse] = last.frac_heating[reuse]
+            frac_ion[reuse] = last.frac_ionization[reuse]
+            frac_exc[reuse] = last.frac_excitation[reuse]
+            exc_frac[reuse] = last.exc_frac[reuse]
+            ion_rate[reuse] = last.ion_rate_per_dep[reuse]
+            prob_auger[reuse] = last.prob_num_auger[reuse]
+            enfrac_auger[reuse] = last.ionenfrac_num_auger[reuse]
+
+        solve_idx = np.nonzero(~reuse & (nne_arr > 0))[0]
+        # block over cells so the [B, sfpts, sfpts] batch stays within
+        # a fixed memory budget (sfpts=4096 -> 3 cells per block)
+        blk = max(1, int(3e9 // (self.sfpts**2 * 8)))
+        from scipy.linalg import solve_triangular
+        for s in range(0, len(solve_idx), blk):
+            cells = solve_idx[s:s + blk]
+            M = self._build_matrices(nne_arr[cells], levelpops[cells],
+                                     ion_numberdens[cells])
+            # the SF matrix is exactly upper triangular (every
+            # process moves electrons DOWN in energy), so LU
+            # factorisation is unnecessary: one back-substitution
+            # per cell (replaces GSL LU, sfmatrix_solve,
+            # nonthermal.cc:2461-2520)
+            y = np.stack([solve_triangular(M[b], self.rhs, lower=False,
+                                           check_finite=False)
+                          for b in range(len(cells))])
             if store_y:
-                ys[c] = y
+                ys[cells] = y
 
             # fractions (Kozma & Fransson 1992 eqs 13-15)
             # excitation: sum_lines int y xs eps n_l dE / E_init,
             # kept per line for the transport-channel selection
             # (frac_excitations_list, nonthermal.cc:2140-2258)
             nnl_exc = np.maximum(
-                levelpops[c][ad.line_lower[self.exc_lines]], 0.0)
-            exc_frac[c] = (nnl_exc * self.exc_eps_ev
-                           * (self.exc_xs @ y) * de) / self.E_init_ev
-            frac_exc[c] = exc_frac[c].sum()
+                levelpops[cells][:, ad.line_lower[self.exc_lines]],
+                0.0)
+            exc_frac[cells] = (nnl_exc * self.exc_eps_ev
+                               * (y @ self.exc_xs.T) * de) \
+                / self.E_init_ev
+            frac_exc[cells] = exc_frac[cells].sum(axis=1)
 
-            fi = 0.0
-            ion_lookup = {}
-            for i in range(ad.nions_total):
-                z = int(ad.elem_z[ad.ion_element[i]])
-                stage = int(ad.ion_stage[i])
-                ion_lookup[i] = (z, z - stage + 1)
-            # per-(ion, shell) accumulators for the Auger-probability
-            # analysis (calculate_eff_ionpot, nonthermal.cc:1440-1545)
-            w_rate = np.zeros((ad.nions_total, namax + 1))
-            w_eta = np.zeros((ad.nions_total, namax + 1))
-            w_rate_tot = np.zeros(ad.nions_total)
-            w_eta_tot = np.zeros(ad.nions_total)
-            for row in self.collion:
-                for i, key in ion_lookup.items():
-                    if key != (row.Z, row.nelec):
+            if len(self.ion_rows):
+                # per-(cell, shell) ionisation rate per target ion per
+                # unit deposition (analyse_sf_solution + eff-ionpot
+                # Auger analysis, nonthermal.cc:1996-2460, 1440-1545);
+                # shells of ions absent from the cell are skipped
+                nnion_rows = ion_numberdens[cells][:, self.row_ion]
+                R = (y @ self.row_xs.T) * de * (nnion_rows > 0)
+                frac_ion[cells] = (nnion_rows * self.row_ionpot
+                                   * R).sum(axis=1) / self.E_init_ev
+                ion_rate[cells] = (R @ self.row_onehot
+                                   / self.E_init_ev / EV)
+                w_rate = np.einsum("br,ra,ri->bia", R, self.row_pa,
+                                   self.row_onehot)
+                w_eta = np.einsum("br,r,ra,ri->bia", R,
+                                  self.row_ionpot, self.row_pa,
+                                  self.row_onehot)
+                w_rate_tot = R @ self.row_onehot
+                w_eta_tot = (R * self.row_ionpot) @ self.row_onehot
+                # normalise to per-ion Auger probabilities, folding
+                # multi-ionisations past the element's top ion into
+                # the highest reachable stage (nonthermal.cc:1492-1527)
+                for i in range(ad.nions_total):
+                    e = ad.ion_element[i]
+                    top = int(ad.elem_ion_start[e + 1]) - 1
+                    if i >= top:  # no upper ion: keep the a=0 default
                         continue
-                    nnion = ion_numberdens[c][i]
-                    if nnion <= 0:
+                    m = w_rate_tot[:, i] > 0
+                    if not m.any():
                         continue
-                    xs = xs_impact_ionization(en, row)
-                    rate = np.sum(xs * y) * de  # per ion per unit dep
-                    fi += nnion * row.ionpot_ev * rate
-                    ion_rate[c, i] += rate / self.E_init_ev / EV
-                    pa = np.asarray(row.prob_num_auger)
-                    w_rate[i] += rate * pa
-                    w_eta[i] += rate * row.ionpot_ev * pa
-                    w_rate_tot[i] += rate
-                    w_eta_tot[i] += rate * row.ionpot_ev
-            frac_ion[c] = fi / self.E_init_ev
-            # normalise to per-ion Auger probabilities, folding
-            # multi-ionisations past the element's top ion into the
-            # highest reachable stage (nonthermal.cc:1492-1527)
-            for i in range(ad.nions_total):
-                if w_rate_tot[i] <= 0:
-                    continue
-                e = ad.ion_element[i]
-                top = int(ad.elem_ion_start[e + 1]) - 1
-                if i >= top:  # no upper ion: keep the a=0 default
-                    continue
-                p = w_rate[i] / w_rate_tot[i]
-                q = w_eta[i] / w_eta_tot[i]
-                a_cap = top - i - 1  # max extra electrons
-                if a_cap < namax:
-                    p[a_cap] += p[a_cap + 1:].sum()
-                    q[a_cap] += q[a_cap + 1:].sum()
-                    p[a_cap + 1:] = 0.0
-                    q[a_cap + 1:] = 0.0
-                prob_auger[c, i] = p
-                enfrac_auger[c, i] = q
-            frac_heat[c] = max(0.0, 1.0 - frac_ion[c] - frac_exc[c])
+                    p = w_rate[m, i] / w_rate_tot[m, i, None]
+                    q = w_eta[m, i] / w_eta_tot[m, i, None]
+                    a_cap = top - i - 1  # max extra electrons
+                    if a_cap < namax:
+                        p[:, a_cap] += p[:, a_cap + 1:].sum(axis=1)
+                        q[:, a_cap] += q[:, a_cap + 1:].sum(axis=1)
+                        p[:, a_cap + 1:] = 0.0
+                        q[:, a_cap + 1:] = 0.0
+                    prob_auger[cells[m], i] = p
+                    enfrac_auger[cells[m], i] = q
+            frac_heat[cells] = np.maximum(
+                0.0, 1.0 - frac_ion[cells] - frac_exc[cells])
 
         sol = SFSolution(frac_heating=frac_heat,
                          frac_ionization=frac_ion,

@@ -48,14 +48,31 @@ def main():
     # estimators (rpkt.cc:557-621) — the photoionisation and
     # bf-heating integrals run over the measured binned J instead of
     # the fullspec Planck fit
-    cfg.multibin_radfield_on = True
-    cfg.radfield_nbins = 64
+    # MULTIBIN=0 selects the fullspec dilute-fit rate integrals
+    # instead — the like-for-like partner of a reference
+    # NO_LUT_PHOTOION/NO_LUT_BFHEATING build with
+    # MULTIBIN_RADFIELD_MODEL_ON=false (ratecoeff.cc:1184,
+    # thermalbalance.cc:141 over the fullspec W,T_R fit)
+    cfg.multibin_radfield_on = os.environ.get("MULTIBIN", "1") != "0"
+    cfg.radfield_nbins = int(os.environ.get("RADFIELD_NBINS", 64))
     # classic runs the LUT transport estimators from the first NLTE
     # timestep on; the multibin stand-in activates there too
     cfg.first_nlte_radfield_ts = cfg.num_lte_timesteps
     cfg.detailed_bfest_from_ts = cfg.num_lte_timesteps
     if cfg.data_path is None:
         cfg.data_path = inputdir  # collion/auger/decay data files
+
+    # observer virtual-packet spectra: enabled when the run directory
+    # provides a reference-format vpkt.txt (read_parameterfile_vpkt,
+    # vpkt.cc:667; the reference gates this behind the VPKT_ON
+    # compile-time option)
+    vp = os.path.join(inputdir, "vpkt.txt")
+    if os.path.exists(vp):
+        from artis_tpu.config import read_vpkt_txt
+        read_vpkt_txt(vp, cfg)
+        cfg.polarization_on = True
+        print(f"vpkt: {len(cfg.vpkt_obs)} observer(s), "
+              f"tau_max={cfg.vpkt_tau_max}")
 
     model = read_1d_model(os.path.join(inputdir, "model.txt"),
                           tmin=cfg.tmin, data_path=cfg.data_path)

@@ -52,6 +52,12 @@ def main():
     cfg.nu_max_r = 5e16
     if cfg.data_path is None:
         cfg.data_path = inputdir
+    # GRID_3D=1 propagates the 1D model on the uniform 3D Cartesian
+    # grid — the reference's default kilonova mode
+    # (GRID_TYPE=GRID_UNIFORM, map_1dmodeltogrid grid.cc:910)
+    if os.environ.get("GRID_3D", "0") == "1":
+        cfg.grid_force_uniform = True
+        cfg.grid_ncoord = int(os.environ.get("GRID_NCOORD", 50))
 
     model = read_1d_model(os.path.join(inputdir, "model.txt"),
                           tmin=cfg.tmin, data_path=cfg.data_path)

@@ -69,3 +69,43 @@ def test_deposition_positive(sim_done):
     dep = sim_done.dep_log
     assert any(d["gamma_dep_Lsun"] > 0 for d in dep)
     assert sum(d["pellet_decays"] for d in dep) > 0.5 * 800
+
+
+def test_1d_model_on_uniform_3d_grid():
+    """A 1D shell model propagated on the uniform 3D Cartesian grid
+    (cfg.grid_force_uniform; map_1dmodeltogrid, grid.cc:910-940)
+    reproduces the spherical-grid run's energetics to geometric
+    discretisation accuracy: same total pellet energy (volume
+    discretisation only) and matching deposition history."""
+    from artis_tpu import make_toy_1d_model
+
+    common = dict(npkts=4000, ntimesteps=5, tmin_days=2.0,
+                  tmax_days=10.0, ftstep=5, opacity_case=0, seed=3,
+                  compact_min_size=64)
+    cfg1 = SimConfig(**common)
+    s1 = Simulation(make_toy_1d_model(nshells=12, tmin=cfg1.tmin), cfg1)
+    s1.run(checkpoint=False, verbose=False)
+
+    cfg3 = SimConfig(**common, grid_force_uniform=True, grid_ncoord=14)
+    s3 = Simulation(make_toy_1d_model(nshells=12, tmin=cfg3.tmin), cfg3)
+    g = s3.grid
+    # geometry: 14^3 propagation cells, 12 model shells, kept cells
+    # fill the ejecta sphere (pi/6 of the cube to discretisation)
+    assert g.ngrid == 14 ** 3 and g.nmodel == 12
+    frac = g.cell_keep.sum() / g.ngrid
+    assert abs(frac - np.pi / 6) < 0.05
+    # model-cell volumes are assoc_cells x cube volume
+    # (vol_init_modelcell, grid.cc:93-108)
+    widval = float(g.wid[0])
+    assert np.allclose(g.vol_init / widval**3,
+                       np.round(g.vol_init / widval**3))
+    # total pellet energy within volume-discretisation error
+    assert abs(s3.etot / s1.etot - 1) < 0.05
+
+    s3.run(checkpoint=False, verbose=False)
+    d1 = np.array([d["gamma_dep_Lsun"] + d["positron_dep_Lsun"]
+                   for d in s1.dep_log])
+    d3 = np.array([d["gamma_dep_Lsun"] + d["positron_dep_Lsun"]
+                   for d in s3.dep_log])
+    assert np.all(np.abs(d3 / d1 - 1) < 0.15)
+    assert np.all(np.isfinite(s3.grid.Te))

@@ -163,13 +163,13 @@ def test_solution_reuse_policy(ad):
                    max_ts_between_solutions=2)
     # tiny drift, next timestep: reused (bit-identical rows)
     calls = {"n": 0}
-    orig = s._build_matrix
+    orig = s._build_matrices
 
     def counting(*a, **k):
         calls["n"] += 1
         return orig(*a, **k)
 
-    s._build_matrix = counting
+    s._build_matrices = counting
     sol1 = s.solve(nne * 1.001, nl, pops.ion_numberdens, timestep=6,
                    max_ts_between_solutions=2)
     assert calls["n"] == 0
@@ -185,6 +185,37 @@ def test_solution_reuse_policy(ad):
     s.solve(nne * 3.0, nl, pops.ion_numberdens, timestep=20,
             max_ts_between_solutions=2)
     assert calls["n"] == 2
+
+
+def test_batched_solve_matches_reference_assembly(ad):
+    """The batched diagonal-band assembly + upper-triangular
+    back-substitution must reproduce the naive per-cell dense assembly
+    + LU solve (same discretisation as sfmatrix assembly + solve,
+    nonthermal.cc:2282-2520) to float64 round-off, including with
+    Auger-carrying collion shells when the data files are present."""
+    import os
+    rows = None
+    if os.path.exists(DATA_DIR + "/collion.txt"):
+        from artis_tpu.plasma.nonthermal import (read_collion,
+                                                 read_auger_data)
+        rows = read_collion(DATA_DIR)
+        read_auger_data(DATA_DIR, rows)
+    nd = np.zeros((3, ad.nelements))
+    nd[:, :] = 1e7 / ad.nelements
+    T = np.array([6000.0, 9000.0, 14000.0])
+    pops = lte.solve_lte_populations(ad, nd, T)
+    nl = lte.level_populations(ad, pops, T)
+    s = SpencerFanoSolver(ad, sfpts=192, emax_ev=2000.0,
+                          colliondata=rows)
+    sol = s.solve(pops.nne, nl, pops.ion_numberdens, store_y=True)
+    for c in range(3):
+        M = s._build_matrix_ref(float(pops.nne[c]), nl[c],
+                                pops.ion_numberdens[c])
+        # the matrix is exactly upper triangular by construction
+        assert np.all(np.tril(M, -1) == 0.0)
+        y = np.linalg.solve(M, s.rhs)
+        np.testing.assert_allclose(sol.y[c], y, rtol=1e-9,
+                                   atol=1e-12 * np.abs(y).max())
 
 
 def test_sf_grid_convergence(ad):
