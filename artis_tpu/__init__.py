@@ -8,6 +8,16 @@ updates, and spectrum/light-curve extraction — designed for SPMD
 execution over TPU device meshes.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # honour JAX_PLATFORMS=cpu explicitly: in this environment a
+    # site hook pre-registers the tunneled TPU backend and the env
+    # var alone does not stop jax from initialising (and hanging on)
+    # it — the config update does
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 from .config import SimConfig, read_input_txt
 from .driver import Simulation
 from .model import (Model, make_toy_1d_model, make_toy_3d_model,

@@ -109,6 +109,12 @@ class SimConfig:
     # fitted per-bin dilute-Planck shape. Active when
     # multibin_radfield_on.
     detailed_bf_estimators: bool = True
+    # per-line Jb_lu flux estimators for selected lines, replacing the
+    # binned-field J_nu in the radiative excitation rates
+    # (DETAILED_LINE_ESTIMATORS_ON; update_lineestimator
+    # radfield.cc:878, consumption macroatom.cc:1006-1015); active in
+    # the detailed NLTE mode
+    detailed_line_estimators: bool = True
     # activation timesteps for the NLTE radfield machinery
     # (FIRST_NLTE_RADFIELD_TIMESTEP = 12,
     # DETAILED_BF_ESTIMATORS_USEFROMTIMESTEP = 13,

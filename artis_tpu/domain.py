@@ -149,7 +149,7 @@ def make_domain_est(plan: DomainPlan, mesh: Mesh, rf_nbins: int = 0,
                     vp_shape=None, nlines_stat: int = 0,
                     ion_stats_nions: int = 0,
                     syn_emiss_bins: int = 0, vgrid_shape=None,
-                    n_bfcont: int = 0) -> dict:
+                    n_bfcont: int = 0, jb_nsel: int = 0) -> dict:
     """Initial per-device estimator stacks: every leaf gains a leading
     [ndev] axis sharded over "dd" (local model rows 0..ndo_max)."""
     base = zero_estimators(plan.ndo_max, rf_nbins, vp_shape,
@@ -157,7 +157,7 @@ def make_domain_est(plan: DomainPlan, mesh: Mesh, rf_nbins: int = 0,
                            ion_stats_nions=ion_stats_nions,
                            syn_emiss_bins=syn_emiss_bins,
                            vgrid_shape=vgrid_shape,
-                           n_bfcont=n_bfcont)
+                           n_bfcont=n_bfcont, jb_nsel=jb_nsel)
     shard = NamedSharding(mesh, P("dd"))
     out = {}
     for k, v in base.items():
@@ -249,7 +249,7 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
                      vp_shape=None, nlines_stat: int = 0,
                      ion_stats_nions: int = 0,
                      syn_emiss_bins: int = 0, vgrid_shape=None,
-                     n_bfcont: int = 0,
+                     n_bfcont: int = 0, jb_nsel: int = 0,
                      relativistic: bool = False,
                      detailed: bool = False,
                      polarization: bool = False, vpkt: bool = False):
@@ -282,7 +282,7 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
                                ion_stats_nions=ion_stats_nions,
                                syn_emiss_bins=syn_emiss_bins,
                                vgrid_shape=vgrid_shape,
-                               n_bfcont=n_bfcont)
+                               n_bfcont=n_bfcont, jb_nsel=jb_nsel)
         pk, delta, _ = run_timestep_chunk(
             pk, est0, tables, params, t2, nts_is_first, base_key,
             chunk_iters, grid_type=grid_type, ncoord=ncoord,

@@ -250,6 +250,7 @@ class Simulation:
                 syn_emiss_bins=self._syn_emiss_bins(),
                 vgrid_shape=self._vgrid_shape(),
                 n_bfcont=self._n_bfcont(),
+                jb_nsel=self._jb_nsel(),
                 relativistic=cfg.use_relativistic_doppler,
                 detailed=self.detailed,
                 polarization=cfg.polarization_on,
@@ -292,6 +293,20 @@ class Simulation:
         return (self.cfg.radfield_nbins
                 if (self.detailed and self.cfg.multibin_radfield_on)
                 else 0)
+
+    def _jb_nsel(self) -> int:
+        """Number of lines with detailed Jb_lu estimators
+        (DETAILED_LINE_ESTIMATORS_ON; radfield.cc:276-315 selection).
+        Active in the detailed NLTE mode on the non-relativistic
+        kernel path (where the crossed-line range is analytic)."""
+        if not (self.detailed and self.cfg.nlte_pops_on
+                and self.cfg.detailed_line_estimators
+                and not self.cfg.use_relativistic_doppler):
+            return 0
+        if not hasattr(self, "_jb_sel"):
+            self._jb_sel = radfield_mod.select_detailed_lines(
+                self.atomic_data)
+        return len(self._jb_sel)
 
     def _vp_shape(self):
         return ((len(self.cfg.vpkt_obs), self.ts.n,
@@ -655,7 +670,10 @@ class Simulation:
                     g.W, g.nne, t_mid_s, radfield=rf_binned,
                     nt_ion_rate_ion=nt_ion_rate_ion,
                     nt_auger_prob=(sol.prob_num_auger
-                                   if sol is not None else None))
+                                   if sol is not None else None),
+                    jb_lu=((self._jb_sel, self._jb_lu_val)
+                           if getattr(self, "_jb_lu_val", None)
+                           is not None else None))
                 # previously-thick cells keep the pure-LTE set
                 # (update_grid.cc:1106-1125 branch)
                 tp = getattr(self, "_thick_prev", None)
@@ -693,6 +711,8 @@ class Simulation:
                 ).astype(np.int32)
                 self._level_ion_dev = jnp.asarray(ion_of_lvl)
             tables["level_ion"] = self._level_ion_dev
+            if self._jb_nsel() > 0:
+                tables["jb_sel"] = jnp.asarray(self._jb_sel)
             pad = lambda a: np.concatenate(
                 [a, np.zeros((1,) + a.shape[1:], a.dtype)])
             # macro-atom tables built ON DEVICE (jitted, float32,
@@ -702,7 +722,9 @@ class Simulation:
             if not hasattr(self, "_ma_builder"):
                 from .plasma.macroatom_device import DeviceTableBuilder
                 self._ma_builder = DeviceTableBuilder(
-                    self.atomic_data, self._ma_static, ph=ph)
+                    self.atomic_data, self._ma_static, ph=ph,
+                    jb_sel=(self._jb_sel if self._jb_nsel() > 0
+                            else None))
             pad1 = lambda a: np.concatenate([a, np.ones(1, a.dtype)])
             pir_pad = dataclasses.replace(
                 pirates,
@@ -718,10 +740,15 @@ class Simulation:
                     rf_pad = dataclasses.replace(
                         rf_binned, W=pad(rf_binned.W),
                         T_R=pad(rf_binned.T_R))
+            jb_val = getattr(self, "_jb_lu_val", None)
             mats = self._ma_builder.build(
                 pad(levelpops), pad1(g.Te), pad1(g.TR), pad(g.W),
                 pad(g.nne), t_mid_s, pirates=pir_pad,
-                radfield=rf_pad)
+                radfield=rf_pad,
+                jb_vals=(pad(np.concatenate(
+                    [jb_val, np.zeros((jb_val.shape[0], 1))],
+                    axis=1).astype(np.float32))
+                    if jb_val is not None else None))
             jax.block_until_ready(mats["proc_cum"])
             self._t_tables_ma = _time.time() - t_tab0
             tables["ma_proc_cum"] = mats["proc_cum"]
@@ -1040,6 +1067,33 @@ class Simulation:
                         self._bfrate_gamma = (
                             self.est_prev["bfrate"][:g.nmodel]
                             * bf_norm[:, None])
+                if ("jb_diff" in self.est_prev
+                        and self._jb_nsel() > 0
+                        and nts >= cfg.first_nlte_radfield_ts):
+                    # per-line Jb_lu estimators: prefix-sum the
+                    # interval difference arrays accumulated by the
+                    # kernel, scale by the per-line 1/nu and the same
+                    # normalisation as J (normalise_J,
+                    # radfield.cc:1297-1305) -> J_nu at each detailed
+                    # line [erg/s/cm^2/Hz/sr], replacing the binned
+                    # field in the radiative excitation rates
+                    S = self._jb_nsel()
+                    raw = np.cumsum(
+                        np.asarray(self.est_prev["jb_diff"],
+                                   np.float64)[:g.nmodel],
+                        axis=1)[:, :S]
+                    cnt = np.cumsum(
+                        np.asarray(self.est_prev["jb_cnt"],
+                                   np.int64)[:g.nmodel],
+                        axis=1)[:, :S]
+                    nu_sel = self.atomic_data.line_nu[self._jb_sel]
+                    jb_norm = (self.units.x_unit * self.units.e0
+                               / (4.0 * np.pi
+                                  * np.maximum(deltaV, 1e-300)
+                                  * self.deltat_prev))
+                    self._jb_lu_val = np.maximum(
+                        raw, 0.0) * jb_norm[:, None] / nu_sel[None, :]
+                    self._jb_lu_cnt = cnt
             else:
                 update_temperatures_from_J(self.grid, cfg, J_cgs)
         if self.detailed:
@@ -1082,6 +1136,18 @@ class Simulation:
                               ad=self.atomic_data,
                               ionpops=getattr(self, "_ionpops_est",
                                               None))
+            if getattr(self, "_radfield_binned", None) is not None:
+                # per-timestep multibin fit rows (the reference writes
+                # radfield.out every timestep, radfield.cc:611-660)
+                rf_path = os.path.join(self.out_dir, "radfield.out")
+                if nts == self.cfg.itstep and os.path.exists(rf_path):
+                    os.remove(rf_path)
+                rr = getattr(self, "_radfield_raw", None)
+                radfield_mod.write_radfield_file(
+                    rf_path, self._radfield_binned, nts,
+                    float(tmid) / DAY,
+                    append=os.path.exists(rf_path),
+                    J_bin=(rr.J_bin if rr is not None else None))
             if (getattr(self, "_ion_stats_prev", None) is not None
                     and self.deltat_prev > 0):
                 from .output import append_ion_stats
@@ -1107,7 +1173,8 @@ class Simulation:
                               ion_stats_nions=self._ion_stats_nions(),
                               syn_emiss_bins=self._syn_emiss_bins(),
                               vgrid_shape=self._vgrid_shape(),
-                              n_bfcont=self._n_bfcont())
+                              n_bfcont=self._n_bfcont(),
+                              jb_nsel=self._jb_nsel())
         chunks = 0
         iters_done = 0
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
@@ -1144,7 +1211,8 @@ class Simulation:
                             ion_stats_nions=self._ion_stats_nions(),
                             syn_emiss_bins=self._syn_emiss_bins(),
                             vgrid_shape=self._vgrid_shape(),
-                            n_bfcont=self._n_bfcont())
+                            n_bfcont=self._n_bfcont(),
+                            jb_nsel=self._jb_nsel())
                         compact_stack, snap_stack = [], []
                     else:
                         pk = self._place_batch(from_numpy(snap[0]))
@@ -1250,6 +1318,7 @@ class Simulation:
                 syn_emiss_bins=self._syn_emiss_bins(),
                 vgrid_shape=self._vgrid_shape(),
                 n_bfcont=self._n_bfcont(),
+                jb_nsel=self._jb_nsel(),
                 relativistic=self.cfg.use_relativistic_doppler,
                 detailed=self.detailed,
                 polarization=self.cfg.polarization_on,
@@ -1262,7 +1331,7 @@ class Simulation:
             ion_stats_nions=self._ion_stats_nions(),
             syn_emiss_bins=self._syn_emiss_bins(),
             vgrid_shape=self._vgrid_shape(),
-            n_bfcont=self._n_bfcont())
+            n_bfcont=self._n_bfcont(), jb_nsel=self._jb_nsel())
         pkd, estd, rounds = dom.run_domain_timestep(
             self._dd_step, pkd, estd, dtab, self.params, t2_sim,
             nts == 0, self.base_key,
@@ -1284,7 +1353,7 @@ class Simulation:
                          ("J", "nuJ", "ffheat", "colheat", "dep_cell")
                          if k in est_np}
         for k in ("J_bin", "nuJ_bin", "compton_emiss", "pp_emiss",
-                  "bfrate"):
+                  "bfrate", "jb_diff", "jb_cnt"):
             if k in est_np:
                 self.est_prev[k] = est_np[k]
         self.deltat_prev = float(self.ts.width[nts])
@@ -1750,10 +1819,17 @@ class Simulation:
                             * self.units.e0, self.cfg,
                             self.model.vmax)
         if getattr(self, "_radfield_binned", None) is not None:
-            radfield_mod.write_radfield_file(
-                os.path.join(out, "radfield.out"),
-                self._radfield_binned, self.nts_done - 1,
-                float(self.ts.mid[self.nts_done - 1]) / DAY)
+            # radfield.out is written per timestep during the run
+            # (matching the reference); only produce it here if the
+            # run never wrote one (e.g. out_dir-less runs finalised
+            # through write_outputs)
+            rf_path = os.path.join(out, "radfield.out")
+            if not os.path.exists(rf_path):
+                rr = getattr(self, "_radfield_raw", None)
+                radfield_mod.write_radfield_file(
+                    rf_path, self._radfield_binned, self.nts_done - 1,
+                    float(self.ts.mid[self.nts_done - 1]) / DAY,
+                    J_bin=(rr.J_bin if rr is not None else None))
         if getattr(self, "nlte_levelpops", None) is not None:
             from .output import write_nlte_pops_file
             write_nlte_pops_file(

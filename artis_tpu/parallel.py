@@ -139,6 +139,7 @@ def make_sharded_chunk_step(mesh: Mesh, *, grid_type: str, ncoord: int,
                             ion_stats_nions: int = 0,
                             syn_emiss_bins: int = 0, vgrid_shape=None,
                             n_bfcont: int = 0,
+                            jb_nsel: int = 0,
                             relativistic: bool = False,
                             detailed: bool = False,
                             polarization: bool = False,
@@ -166,7 +167,7 @@ def make_sharded_chunk_step(mesh: Mesh, *, grid_type: str, ncoord: int,
                                ion_stats_nions=ion_stats_nions,
                                syn_emiss_bins=syn_emiss_bins,
                                vgrid_shape=vgrid_shape,
-                               n_bfcont=n_bfcont)
+                               n_bfcont=n_bfcont, jb_nsel=jb_nsel)
         pk2, delta, n_act = run_timestep_chunk(
             pk, est0, tables, params, t2, nts_is_first, base_key,
             chunk_iters, grid_type=grid_type, ncoord=ncoord,

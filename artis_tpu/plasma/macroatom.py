@@ -146,7 +146,7 @@ def line_expansion_opacity(ad: AtomicData, levelpops: np.ndarray,
 def bound_bound_rates(ad: AtomicData, levelpops: np.ndarray,
                       Te: np.ndarray, TR: np.ndarray, W: np.ndarray,
                       nne: np.ndarray, t_mid: float,
-                      radfield=None) -> dict:
+                      radfield=None, jb_lu=None) -> dict:
     """Per-(cell, line) bound-bound process rates, shared between the
     macro-atom tables and the NLTE rate matrix (the reference computes
     the same four quantities in both macroatom.cc:922-1062 and the
@@ -190,6 +190,14 @@ def bound_bound_rates(ad: AtomicData, levelpops: np.ndarray,
     else:
         Jnu = _planck_Jnu(nu, np.asarray(TR, np.float64)[:, None],
                           np.asarray(W, np.float64)[:, None])
+    if jb_lu is not None:
+        # detailed per-line Jb_lu estimators replace the modelled
+        # field at the selected lines (macroatom.cc:1006-1015: R_Jb =
+        # R_over_J_nu * Jb_lu when a jblueindex exists)
+        jb_sel, jb_val = jb_lu
+        Jnu = np.broadcast_to(
+            Jnu, (levelpops.shape[0], ad.nlines)).copy()
+        Jnu[:, jb_sel] = jb_val
     with np.errstate(invalid="ignore", divide="ignore"):
         R_over_J = np.where(n_l > 0,
                             (B_lu[None, :] - B_ul[None, :] * n_u

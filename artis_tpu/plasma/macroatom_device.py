@@ -65,7 +65,8 @@ def _planck_jnu(nu, T, W):
     return W * b
 
 
-def _line_weights(lc_chunk, nl, Te, TR, W, nne, t_mid, rf=None):
+def _line_weights(lc_chunk, nl, Te, TR, W, nne, t_mid, rf=None,
+                  jb_vals=None):
     """Per-(cell, chunk-line) weights. ``lc_chunk``: line constants
     sliced to the chunk; ``nl``: levelpops [ncells, nlevels] f32.
     Returns w_rad, w_col, w_down, w_up, w_kexc [ncells, K]."""
@@ -103,6 +104,17 @@ def _line_weights(lc_chunk, nl, Te, TR, W, nne, t_mid, rf=None):
     else:
         Jnu = _planck_jnu(lc_chunk["nu"][None, :], TR[:, None],
                           W[:, None])
+    if jb_vals is not None:
+        # detailed per-line Jb_lu estimators override the modelled
+        # field at the selected lines (macroatom.cc:1006-1015);
+        # jb_col maps each line to its column in jb_vals, with the
+        # last (zero) column as the no-estimator sentinel
+        col = lc_chunk["jb_col"]
+        has_jb = col < jb_vals.shape[1] - 1
+        Jnu = jnp.where(has_jb[None, :],
+                        jb_vals[:, jnp.clip(col, 0,
+                                            jb_vals.shape[1] - 1)],
+                        Jnu)
     R_over_J = jnp.where(
         n_l > 0,
         (lc_chunk["B_lu"][None, :] - lc_chunk["B_ul"][None, :]
@@ -152,11 +164,12 @@ def _line_weights(lc_chunk, nl, Te, TR, W, nne, t_mid, rf=None):
     return w_rad, w_col, w_down, w_up, w_kexc
 
 
-@partial(jax.jit, static_argnames=("nlevels", "nchunks", "has_rf",
+@partial(jax.jit, static_argnames=("nlevels", "nchunks", "has_rf", "has_jb",
                                    "rf_raw"))
 def _build_core(lc, g_l_all, g_u_all, nl, Te, TR, W, nne, t_mid,
-                rf_arrays, *, nlevels: int, nchunks: int,
-                has_rf: bool, rf_raw: bool = False):
+                rf_arrays, jb_vals=None, *, nlevels: int,
+                nchunks: int, has_rf: bool, rf_raw: bool = False,
+                has_jb: bool = False):
     """Chunked scan over the (padded) linelist: per-line weights in
     global order + per-level process aggregates."""
     ncells = nl.shape[0]
@@ -169,11 +182,13 @@ def _build_core(lc, g_l_all, g_u_all, nl, Te, TR, W, nne, t_mid,
         chunk = {k: jax.lax.dynamic_slice_in_dim(lc[k], s, K)
                  for k in ("lo", "up", "nu", "A", "f_lu", "coll_str",
                            "forbidden", "B_ul", "B_lu", "eps_trans",
-                           "eps_lo_abs")}
+                           "eps_lo_abs")
+                 + (("jb_col",) if has_jb else ())}
         chunk["g_l"] = jax.lax.dynamic_slice_in_dim(g_l_all, s, K)
         chunk["g_u"] = jax.lax.dynamic_slice_in_dim(g_u_all, s, K)
         w_rad, w_col, w_down, w_up, w_kexc = _line_weights(
-            chunk, nl, Te, TR, W, nne, t_mid, rf=rf)
+            chunk, nl, Te, TR, W, nne, t_mid, rf=rf,
+            jb_vals=jb_vals if has_jb else None)
         # per-level process sums (np.add.at analogue)
         up_i, lo_i = chunk["up"], chunk["lo"]
         proc = proc.at[:, up_i, MA_RADDEEXC].add(w_rad)
@@ -194,7 +209,8 @@ class DeviceTableBuilder:
     """Builds the per-timestep macro-atom / kpkt cumulative tables on
     device.  Constants are uploaded once; ``build`` jits per shape."""
 
-    def __init__(self, ad, ma_static, ph=None, line_chunk: int = 8192):
+    def __init__(self, ad, ma_static, ph=None, line_chunk: int = 8192,
+                 jb_sel=None):
         self.ad = ad
         self.ma_static = ma_static
         self.ph = ph
@@ -222,9 +238,17 @@ class DeviceTableBuilder:
             [jnp.asarray(g[ad.line_lower]), jnp.ones(padn, jnp.float32)])
         self.g_u = jnp.concatenate(
             [jnp.asarray(g[ad.line_upper]), jnp.ones(padn, jnp.float32)])
+        # detailed Jb_lu estimator columns: line -> index into the
+        # per-cell jb_vals array (last column = no-estimator sentinel)
+        self.jb_nsel = 0 if jb_sel is None else len(jb_sel)
+        if self.jb_nsel:
+            col = np.full(self.npad, self.jb_nsel, np.int32)
+            col[np.asarray(jb_sel)] = np.arange(self.jb_nsel,
+                                                dtype=np.int32)
+            self.lc["jb_col"] = jnp.asarray(col)
 
     def build(self, levelpops, Te, TR, W, nne, t_mid,
-              pirates=None, radfield=None) -> dict:
+              pirates=None, radfield=None, jb_vals=None) -> dict:
         """Returns the same table dict as macroatom.build_tables, as
         device float32 arrays (un-padded back to nlines columns)."""
         ad, ph = self.ad, self.ph
@@ -247,10 +271,14 @@ class DeviceTableBuilder:
             rf_arrays = (jnp.zeros(1, jnp.float32),
                          jnp.zeros((1, 1), jnp.float32),
                          jnp.zeros((1, 1), jnp.float32))
+        has_jb = jb_vals is not None and self.jb_nsel > 0
+        jbv = (jnp.asarray(jb_vals, jnp.float32) if has_jb
+               else jnp.zeros((nl.shape[0], 1), jnp.float32))
         proc, w_rad, w_down, w_up, w_kexc = _build_core(
             self.lc, self.g_l, self.g_u, nl, Te_j, TR_j, W_j, nne_j,
-            jnp.float32(t_mid), rf_arrays, nlevels=self.nlevels,
-            nchunks=self.nchunks, has_rf=has_rf, rf_raw=rf_raw)
+            jnp.float32(t_mid), rf_arrays, jbv, nlevels=self.nlevels,
+            nchunks=self.nchunks, has_rf=has_rf, rf_raw=rf_raw,
+            has_jb=has_jb)
         n = self.nlines
 
         # ionisation / recombination channels [ncells, ncont] (small;

@@ -15,12 +15,14 @@ framework:
   transport and the population solve stay consistent by construction;
 * the solve is a batched ``np.linalg.solve`` over cells (the
   reference's per-cell GSL LU decompositions, done one cell at a time
-  per rank, become one batched host solve; matrix sizes here are
-  O(10-100) so a host LAPACK batch is faster than a device round-trip);
-* no superlevel approximation: the reference folds levels above
-  ``nlevels_nlte`` into a superlevel to bound the per-cell LU cost
-  (nltepop.cc:200-260); with the batched solve the full level set is
-  affordable, which removes the superlevel bookkeeping entirely.
+  per rank, become one batched host solve);
+* superlevels, as in the reference (nltepop.cc:200-260, 392-417):
+  levels above each ion's NLTE cap (LEVEL_IS_NLTE,
+  artisoptions_nltenebular.h:29-33) fold into one matrix row, with
+  member populations distributed in LTE at T_e
+  (superlevel_boltzmann, nltepop.cc:1543-1555). This bounds the
+  matrix dimension at reference-dataset scale (Fe has O(1e3) levels;
+  a dense all-levels matrix per cell would not).
 
 Statistical equilibrium for element E with levels i, j:
     sum_{j != i} n_j R(j->i)  -  n_i sum_{j != i} R(i->j) = 0
@@ -39,9 +41,23 @@ from __future__ import annotations
 import numpy as np
 
 from ..atomic import AtomicData
+from ..constants import KB
 from . import macroatom as ma_mod
 
 MINPOP = 1e-40
+
+# NLTE level caps (LEVEL_IS_NLTE, artisoptions_nltenebular.h:29-33):
+# levels up to index 80 are individually NLTE (Fe II: 197); levels
+# above fold into the ion's superlevel
+NLTE_CAP_DEFAULT = 80
+NLTE_CAP_FEII = 197
+
+
+def nlte_levels_cap(ad: AtomicData, ion: int) -> int:
+    z = int(ad.elem_z[ad.ion_element[ion]])
+    stage = int(ad.ion_stage[ion])
+    return NLTE_CAP_FEII if (z == 26 and stage == 2) \
+        else NLTE_CAP_DEFAULT
 
 
 def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
@@ -49,8 +65,8 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
                     t_mid: float, nt_ion_rate: np.ndarray | None = None,
                     radfield=None,
                     nt_ion_rate_ion: np.ndarray | None = None,
-                    nt_auger_prob: np.ndarray | None = None
-                    ) -> np.ndarray:
+                    nt_auger_prob: np.ndarray | None = None,
+                    jb_lu=None) -> np.ndarray:
     """Solve statistical equilibrium for every element in every cell.
 
     Parameters
@@ -76,7 +92,7 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
     """
     ncells = levelpops.shape[0]
     bb = ma_mod.bound_bound_rates(ad, levelpops, Te, TR, W, nne, t_mid,
-                                  radfield=radfield)
+                                  radfield=radfield, jb_lu=jb_lu)
     rate_up = bb["R_exc"] + bb["C_exc"]  # [ncells, nlines] per lower atom
     rate_down = bb["R_deexc"] + bb["C_deexc"]  # per upper atom
 
@@ -94,6 +110,7 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
 
     out = np.array(levelpops, dtype=np.float64, copy=True)
 
+    Te_arr = np.maximum(np.asarray(Te, np.float64), 1.0)
     for e in range(ad.nelements):
         i0, i1 = ad.elem_ion_start[e], ad.elem_ion_start[e + 1]
         l0, l1 = ad.ion_level_start[i0], ad.ion_level_start[i1]
@@ -102,16 +119,75 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
             out[:, l0:l1] = elem_numberdens[:, e][:, None]
             continue
 
-        # assemble M[c, to, from] as a flat [n*n, ncells] scatter-add
-        Mflat = np.zeros((n * n, ncells))
+        # ---- superlevel folding (nltepop.cc:200-260, 392-417,
+        # superlevel_boltzmann nltepop.cc:1543-1555): levels above
+        # each ion's NLTE cap collapse into ONE matrix row, with the
+        # member populations distributed in LTE at T_exc = T_e.
+        # idx_of[l]   element-local level -> matrix index
+        # w_sl[c, l]  outgoing-rate renormalisation (s_renorm):
+        #             boltzmann_l / Z_superlevel for members, 1 else
+        ion_of = np.repeat(
+            np.arange(i0, i1),
+            np.diff(ad.ion_level_start[i0:i1 + 1]))  # [n] global ion
+        lev_in_ion = (np.arange(l0, l1)
+                      - ad.ion_level_start[ion_of])
+        cap = np.array([nlte_levels_cap(ad, i) for i in
+                        range(i0, i1)])  # per-ion max NLTE level idx
+        cap_of = cap[ion_of - i0]
+        nlev_of = (ad.ion_level_start[ion_of + 1]
+                   - ad.ion_level_start[ion_of])
+        cap_of = np.minimum(cap_of, nlev_of - 1)
+        is_sl = lev_in_ion > cap_of
+        has_sl = np.array([bool(np.any(is_sl[ion_of == i]))
+                           for i in range(i0, i1)])
+        block = np.minimum(
+            cap, np.diff(ad.ion_level_start[i0:i1 + 1]) - 1) + 1 \
+            + has_sl.astype(int)
+        base = np.concatenate([[0], np.cumsum(block)])
+        nidx = int(base[-1])
+        idx_of = base[ion_of - i0] + np.where(
+            is_sl, cap_of + 1, lev_in_ion)
+        w_sl = np.ones((ncells, n))
+        if is_sl.any():
+            E = ad.level_energy[l0:l1]
+            gw = ad.level_g[l0:l1]
+            # reference energy: the first superlevel member of the ion
+            E_ref = np.zeros(n)
+            for irel in range(i1 - i0):
+                m = (ion_of - i0 == irel) & is_sl
+                if m.any():
+                    first = np.flatnonzero(m)[0]
+                    E_ref[m] = E[first]
+            b = np.where(
+                is_sl[None, :],
+                gw[None, :] * np.exp(-(E - E_ref)[None, :]
+                                     / (KB * Te_arr[:, None])),
+                0.0)
+            # Z per (cell, ion): segment-sum over superlevel members
+            Z = np.zeros((ncells, i1 - i0))
+            np.add.at(Z.T, ion_of - i0, b.T)
+            w_sl = np.where(is_sl[None, :],
+                            b / np.maximum(Z[:, ion_of - i0], 1e-300),
+                            1.0)
 
-        def add(to_idx, from_idx, rates):
-            # rates: [ncells, nk] per from-level atom
-            flat = to_idx.astype(np.int64) * n + from_idx
-            np.add.at(Mflat, flat, rates.T)
+        # assemble M[c, to, from] as a flat [nidx*nidx, ncells]
+        # scatter-add over matrix indices
+        Mflat = np.zeros((nidx * nidx, ncells))
+
+        def add(to_lvl, from_lvl, rates):
+            # to_lvl/from_lvl: element-local LEVEL indices;
+            # rates: [ncells, nk] per from-level atom. Outgoing rates
+            # from superlevel members are weighted by the member's
+            # LTE share of the superlevel population (s_renorm,
+            # nltepop.cc:880-886)
+            ti = idx_of[to_lvl]
+            fi = idx_of[from_lvl]
+            r = rates * w_sl[:, from_lvl]
+            flat = ti.astype(np.int64) * nidx + fi
+            np.add.at(Mflat, flat, r.T)
             # outgoing: subtract on the diagonal of the from column
-            diag = from_idx.astype(np.int64) * n + from_idx
-            np.add.at(Mflat, diag, -rates.T)
+            diag = fi.astype(np.int64) * nidx + fi
+            np.add.at(Mflat, diag, -r.T)
 
         lm = np.flatnonzero((ad.line_lower >= l0) & (ad.line_lower < l1))
         if lm.size:
@@ -155,18 +231,18 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
                         (ncells, e_l - s_l))
                     add(to_idx, from_idx, np.ascontiguousarray(rates))
 
-        M = Mflat.T.reshape(ncells, n, n)
+        M = Mflat.T.reshape(ncells, nidx, nidx)
         # particle conservation replaces the ground-level equation
         # (nltepop.cc:860-885); scale the constraint row to the matrix
         # magnitude so the LU pivoting stays well conditioned
         scale = np.maximum(np.abs(M).max(axis=(1, 2)), 1.0)
         M[:, 0, :] = scale[:, None]
-        b = np.zeros((ncells, n))
+        b = np.zeros((ncells, nidx))
         n_e = np.asarray(elem_numberdens[:, e], np.float64)
         b[:, 0] = scale * n_e
 
         ok = n_e > 0
-        x = np.full((ncells, n), MINPOP)
+        x = np.full((ncells, nidx), MINPOP)
         if np.any(ok):
             try:
                 sol = np.linalg.solve(M[ok], b[ok][..., None])[..., 0]
@@ -184,9 +260,13 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
         tot = x.sum(axis=1)
         x = x * np.where(ok & (tot > 0), n_e / np.maximum(tot, 1e-300),
                          1.0)[:, None]
+        # expand matrix-index populations back to levels: superlevel
+        # members share the superlevel population in LTE proportion
+        # (nltepop.cc:985-1000: stored pop x superlevel_boltzmann)
+        xl = x[:, idx_of] * w_sl
         # singular cells keep their previous (LTE) populations
-        x[bad] = np.maximum(out[bad, l0:l1], MINPOP)
-        out[:, l0:l1] = np.where(ok[:, None], x, MINPOP)
+        xl[bad] = np.maximum(out[bad, l0:l1], MINPOP)
+        out[:, l0:l1] = np.where(ok[:, None], xl, MINPOP)
     return out
 
 

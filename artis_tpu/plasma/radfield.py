@@ -185,16 +185,37 @@ def fit_bin_parameters(J_bin: np.ndarray, nuJ_bin: np.ndarray,
 
 
 def write_radfield_file(path: str, rf: BinnedRadField, nts: int,
-                        tdays: float, append: bool = False):
+                        tdays: float, append: bool = False,
+                        J_bin: np.ndarray | None = None):
     """radfield.out analogue (radfield.cc:611-660): per (cell, bin)
-    rows with the fitted parameters."""
+    rows with the fitted parameters and, when available, the measured
+    bin-integrated J (the reference's J column)."""
     mode = "a" if append else "w"
     with open(path, mode) as f:
         if not append:
             f.write("#timestep tdays modelgridindex bin nu_lower "
-                    "nu_upper W T_R\n")
+                    "nu_upper W T_R J\n")
         for mgi in range(rf.W.shape[0]):
             for b in range(rf.nbins):
+                jcol = ("" if J_bin is None
+                        else f" {J_bin[mgi, b]:.6e}")
                 f.write(f"{nts} {tdays:.4f} {mgi} {b} "
                         f"{rf.nu_edges[b]:.5e} {rf.nu_edges[b + 1]:.5e} "
-                        f"{rf.W[mgi, b]:.6e} {rf.T_R[mgi, b]:.2f}\n")
+                        f"{rf.W[mgi, b]:.6e} {rf.T_R[mgi, b]:.2f}"
+                        f"{jcol}\n")
+
+
+def select_detailed_lines(ad) -> np.ndarray:
+    """Line selection for the detailed per-line Jb_lu estimators
+    (radfield::init, radfield.cc:276-315): Fe (Z=26) lines whose lower
+    level index within its ion is <= 15 and with a nonzero spontaneous
+    emission rate. Returns ascending line indices (the linelist is
+    already in the kernel's descending-frequency order)."""
+    ion_of_level = np.repeat(np.arange(ad.nions_total),
+                             np.diff(ad.ion_level_start))
+    ion_lo = ion_of_level[ad.line_lower]
+    z = ad.elem_z[ad.ion_element[ion_lo]]
+    lower_rel = ad.line_lower - ad.ion_level_start[ion_lo]
+    sel = np.flatnonzero((z == 26) & (lower_rel <= 15)
+                         & (ad.line_A > 0.0))
+    return np.sort(sel).astype(np.int32)

@@ -164,9 +164,22 @@ def zero_estimators(nmodel: int, radfield_nbins: int = 0,
                     ion_stats_nions: int = 0,
                     syn_emiss_bins: int = 0,
                     vgrid_shape=None,
-                    n_bfcont: int = 0) -> dict[str, jax.Array]:
+                    n_bfcont: int = 0,
+                    jb_nsel: int = 0) -> dict[str, jax.Array]:
     z = lambda: jnp.float32(0.0)
     out = {}
+    if jb_nsel > 0:
+        # per-line Jb_lu estimators for the selected detailed lines
+        # (update_lineestimator, radfield.cc:878-890) stored as
+        # interval DIFFERENCE arrays: each event's crossed-line index
+        # range [lo, hi) adds +w at lo and -w at hi; the driver
+        # prefix-sums over the selected-line axis and scales by the
+        # per-line 1/nu. Two scatter-adds per event replace the
+        # reference's per-crossed-line increment.
+        out["jb_diff"] = jnp.zeros((nmodel + 1, jb_nsel + 1),
+                                   jnp.float32)
+        out["jb_cnt"] = jnp.zeros((nmodel + 1, jb_nsel + 1),
+                                  jnp.int32)
     if vgrid_shape is not None:
         # velocity-plane image grids [nobs, nranges, NV, NV] Stokes
         # I/Q/U (vpkt_grid, vpkt.cc:441-560 / add_to_vpkt_grid)
@@ -1800,6 +1813,33 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
     dist = jnp.where(take_boundary, sdist,
                      jnp.where(take_event, edist, tdist))
+
+    if detailed and "jb_diff" in est and not relativistic:
+        # per-line Jb_lu estimators (update_lineestimator,
+        # rpkt.cc:205-270 + radfield.cc:878): every line crossed on
+        # this move contributes t_res * c * e_cmf(res) / nu_line,
+        # which in homologous flow is the per-packet constant
+        # t_b * e_cmf0 times the per-line 1/nu_line (applied by the
+        # driver). The crossed lines are the contiguous index range
+        # [j0, j_end): j_end = lines redshifted past during `dist`,
+        # plus the activating line itself on a bound-bound event.
+        nu_q = pk.nu_cmf * t_b / jnp.maximum(t_b + dist, 1e-30)
+        j_lim = bisect_count_gt_desc(params.line_nu, nu_q,
+                                     params.line_nu.shape[0])
+        j_end = jnp.maximum(j0, j_lim) \
+            + (take_event & (walk_kind == WK_BB)).astype(jnp.int32)
+        selj = tables["jb_sel"]  # [S] ascending kernel line indices
+        lo_s = jnp.sum(selj[None, :] < j0[:, None], axis=1)
+        hi_s = jnp.sum(selj[None, :] < j_end[:, None], axis=1)
+        w_jb = jnp.where(m_det, t_b * pk.e_cmf, 0.0)
+        nsel1 = est["jb_diff"].shape[1]
+        lo_s = jnp.clip(lo_s, 0, nsel1 - 1)
+        hi_s = jnp.clip(hi_s, 0, nsel1 - 1)
+        cnt_w = jnp.where(m_det, (hi_s > lo_s).astype(jnp.int32), 0)
+        est["jb_diff"] = est["jb_diff"].at[mgi, lo_s].add(w_jb) \
+            .at[mgi, hi_s].add(-w_jb)
+        est["jb_cnt"] = est["jb_cnt"].at[mgi, lo_s].add(cnt_w) \
+            .at[mgi, hi_s].add(-cnt_w)
 
     # estimators use midpoint cmf values (do_rpkt_step moves in halves
     # around update_estimators, rpkt.cc:737-742)

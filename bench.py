@@ -61,16 +61,26 @@ def _run_sim_bench(sim, npkts, label, nsteps=3):
     sim.advance_one_timestep(checkpoint=False, verbose=False)
     t0 = time.time()
     events = 0
+    iters = 0
+    t_solve = 0.0
     for _ in range(nsteps):
         sim.advance_one_timestep(checkpoint=False, verbose=False)
-        events += _events(sim.dep_log[-1])
-    eps = events / (time.time() - t0)
+        d = sim.dep_log[-1]
+        events += _events(d)
+        iters += d.get("iterations", 0)
+        t_solve += d.get("t_solve_s", 0.0) + d.get("t_tables_s", 0.0)
+    wall = time.time() - t0
+    eps = events / wall
     return {
         "metric": f"packet-events/s/chip ({label}, {npkts} packets, "
                   "vs reference sn3d on host)",
         "value": round(eps, 1),
         "unit": "events/s",
         "vs_baseline": round(eps / REF_EVENTS_PER_S, 3),
+        "events": int(events),
+        "wall_s": round(wall, 1),
+        "kernel_iterations": int(iters),
+        "host_solve_s": round(t_solve, 1),
     }
 
 
@@ -197,18 +207,18 @@ def main():
         best = out
         print(json.dumps(out), flush=True)
 
-    # 3. detailed upgrade: try full size, then halve once if it failed
+    # 3. detailed upgrade: land a 250k number first (known to fit the
+    # stage timeout), then upgrade to 500k if budget remains
     for npkts in ([int(npkts_env)] if npkts_env
-                  else [500_000, 250_000]):
+                  else [250_000, 500_000]):
         t_left = deadline - time.time()
         if t_left < 300:
             break
-        out = _run_stage("detailed", min(1200, t_left),
+        out = _run_stage("detailed", min(1500, t_left),
                          extra_env={"BENCH_NPKTS": str(npkts)})
         if out:
             best = out
             print(json.dumps(out), flush=True)
-            break
 
     if best is None:
         print(json.dumps({

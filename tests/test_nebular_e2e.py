@@ -192,3 +192,54 @@ def test_bfrate_estimators_accumulate_and_feed_rates(sim_done):
     assert both.sum() > 10
     ratio = g[both] / pir.gamma_corr[both]
     assert 0.01 < np.median(ratio) < 100.0
+
+
+def test_jb_lu_estimators():
+    """Per-line Jb_lu flux estimators (update_lineestimator,
+    radfield.cc:878; selection radfield.cc:276-315): accumulated as
+    interval difference arrays in transport, prefix-summed and
+    normalised like J. The estimators measure the same radiation
+    field as the binned radfield, so where the contribution count is
+    healthy the two must agree to MC statistics. Checked after the
+    FIRST transport step (the toy ejecta turns transparent later and
+    the crossing counts collapse)."""
+    cfg = SimConfig(npkts=1200, ntimesteps=4, tmin_days=80.0,
+                    tmax_days=200.0, ftstep=2, opacity_case=4,
+                    seed=31, num_grey_timesteps=0, num_lte_timesteps=1,
+                    nonthermal_on=True, sf_points=256,
+                    nlte_pops_on=True, multibin_radfield_on=True,
+                    radfield_nbins=32, compact_min_size=64,
+                    first_nlte_radfield_ts=1, detailed_bfest_from_ts=1)
+    model = make_toy_1d_model(nshells=4, mtot_msun=0.6,
+                              mni56_msun=0.5, tmin=cfg.tmin)
+    ad = make_synthetic_atomic_data()
+    sim = Simulation(model, cfg, atomic_data=ad)
+    sim.run(checkpoint=False, verbose=False)
+    assert sim._jb_nsel() > 0  # Fe lines exist in the synthetic set
+    sel = sim._jb_sel
+    # selection contract: Fe, lower level within its ion <= 15, A>0
+    ion_of_level = np.repeat(np.arange(ad.nions_total),
+                             np.diff(ad.ion_level_start))
+    ion_lo = ion_of_level[ad.line_lower[sel]]
+    assert np.all(ad.elem_z[ad.ion_element[ion_lo]] == 26)
+    assert np.all(ad.line_lower[sel]
+                  - ad.ion_level_start[ion_lo] <= 15)
+
+    val = sim._jb_lu_val
+    cnt = sim._jb_lu_cnt
+    nz = sim.grid.rho_init > 0
+    assert val.shape == (sim.grid.nmodel, len(sel))
+    assert np.all(np.isfinite(val))
+    assert np.all(val >= 0)
+    # packets crossed detailed lines in the first (opaque) timestep
+    assert cnt[nz].sum() > 500
+    # consistency with the modelled field: compare against the binned
+    # radfield at the same frequencies where statistics are healthy
+    rf = sim._radfield_binned
+    Jmodel = rf.Jnu_at(ad.line_nu[sel])
+    healthy = nz[:, None] & (cnt > 10) & (Jmodel > 0)
+    assert healthy.sum() > 50
+    ratio = val[healthy] / Jmodel[healthy]
+    # same field, two estimators: agreement to MC statistics
+    # (measured: median 1.07, p10-p90 0.73-1.46 at this seed)
+    assert 0.7 < np.median(ratio) < 1.5

@@ -94,3 +94,50 @@ def test_nne_from_levelpops(setup):
     ad, ph, ncells, Te, nd, pops, nl_lte = setup
     nne = nltepop_mod.nne_from_levelpops(ad, nl_lte)
     assert np.allclose(nne, pops.nne, rtol=1e-6)
+
+
+def test_superlevel_fold_matches_full_solve(monkeypatch):
+    """Superlevel folding (nltepop.cc:200-260, superlevel_boltzmann
+    nltepop.cc:1543-1555): levels above the per-ion NLTE cap collapse
+    into one matrix row with LTE-at-T_e internal distribution. In
+    detailed-balance (undiluted blackbody) conditions the folded solve
+    must agree with the full all-levels solve, and particle
+    conservation must hold exactly."""
+    ad = make_synthetic_atomic_data(seed=5, elements=((28, 2, 120),))
+    ph = make_hydrogenic_phixs(ad)
+    ncells = 3
+    Te = np.linspace(7000.0, 12000.0, ncells)
+    rho = np.full(ncells, 1e-13)
+    massfracs = np.zeros((ncells, 30))
+    massfracs[:, 27] = 1.0
+    nd = lte_mod.elem_numberdens_from_massfracs(ad, rho, massfracs)
+    pops = lte_mod.solve_lte_populations(ad, nd, Te)
+    nl_lte = lte_mod.level_populations(ad, pops, Te)
+    W = np.ones(ncells)
+    pirates = photoion_mod.compute_rates(ad, ph, Te, Te, W, pops.nne)
+
+    # folded: default cap 80 -> levels 81..119 of each ion fold
+    nl_sl = nltepop_mod.solve_nlte_pops(
+        ad, ph, pirates, nl_lte, nd, Te, Te, W, pops.nne,
+        t_mid=10 * 86400.0)
+    # full: cap raised above the level count -> no superlevel
+    monkeypatch.setattr(nltepop_mod, "NLTE_CAP_DEFAULT", 10_000)
+    nl_full = nltepop_mod.solve_nlte_pops(
+        ad, ph, pirates, nl_lte, nd, Te, Te, W, pops.nne,
+        t_mid=10 * 86400.0)
+
+    # exact particle conservation in both
+    for nl in (nl_sl, nl_full):
+        np.testing.assert_allclose(nl.sum(axis=1), nd[:, 0],
+                                   rtol=1e-10)
+    # ion-stage totals agree closely
+    ion_sl = nltepop_mod.ion_populations(ad, nl_sl)
+    ion_full = nltepop_mod.ion_populations(ad, nl_full)
+    sig = ion_full > 1e-8 * ion_full.max()
+    np.testing.assert_allclose(ion_sl[sig], ion_full[sig], rtol=0.05)
+    # individually-treated levels agree; superlevel members follow
+    # the LTE-at-Te internal distribution to solver tolerance
+    big = nl_full > 1e-6 * nl_full.max(axis=1, keepdims=True)
+    rel = np.abs(nl_sl[big] / nl_full[big] - 1)
+    assert np.median(rel) < 0.05
+    assert rel.max() < 0.5

@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 
+# spectrum binning is pure host work: force the CPU platform before
+# any jax computation (artis_tpu imports jax) so this CLI never
+# touches — or wedges on — the TPU tunnel while a run is active
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
 
 def read_packets_file(path: str) -> dict:
     """Read a text packet dump written by output.write_packets_file

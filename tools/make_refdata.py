@@ -28,6 +28,12 @@ import sys
 
 import numpy as np
 
+# dataset generation is pure host work: force the CPU platform before
+# any jax computation so this tool can never touch (and wedge on) the
+# TPU tunnel while a run is active
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from artis_tpu.atomic import AtomicData  # noqa: E402
