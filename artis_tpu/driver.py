@@ -1735,6 +1735,8 @@ class Simulation:
             "emissiontype": arr["emissiontype"],
             "absorptiontype": arr["absorptiontype"],
             "absorption_nu": arr["absorption_nu"].astype(np.float64),
+            "em_pos": arr["em_pos"].astype(np.float64) * u.x_unit,
+            "em_time": arr["em_time"].astype(np.float64) * u.tmin,
         }
 
     def build_spectra(self, escape_type: int = 11):

@@ -152,11 +152,13 @@ def write_packets_file(path: str, arrays_cgs: dict[str, np.ndarray],
             "dirx", "diry", "dirz", "e_cmf", "e_rf", "nu_cmf", "nu_rf",
             "escape_type_id", "escape_time", "nscatterings",
             "stokes_q", "stokes_u", "emissiontype", "absorptiontype",
-            "absorption_nu"]
+            "absorption_nu", "em_posx", "em_posy", "em_posz",
+            "em_time"]
     z = lambda k, dt=float: np.asarray(
         arrays_cgs.get(k, np.zeros(n, dt)))
     pos = arrays_cgs["pos"]
     d = arrays_cgs["dirvec"]
+    em_pos = np.asarray(arrays_cgs.get("em_pos", np.zeros((n, 3))))
     mat = np.column_stack([
         np.arange(n), z("cell", int), arrays_cgs["ptype"],
         pos[:, 0], pos[:, 1], pos[:, 2], d[:, 0], d[:, 1], d[:, 2],
@@ -167,7 +169,8 @@ def write_packets_file(path: str, arrays_cgs: dict[str, np.ndarray],
         z("emissiontype", int) if "emissiontype" in arrays_cgs
         else np.full(n, -1), z("absorptiontype", int)
         if "absorptiontype" in arrays_cgs else np.full(n, -1),
-        z("absorption_nu")])
+        z("absorption_nu"),
+        em_pos[:, 0], em_pos[:, 1], em_pos[:, 2], z("em_time")])
     np.savetxt(path, mat, fmt="%.9g",
                header=" ".join(cols), comments="#")
 

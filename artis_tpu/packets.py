@@ -71,6 +71,9 @@ class PacketBatch:
     escape_type: jax.Array  # [N] int32
     escape_time: jax.Array  # [N] f32 [tmin]
     em_time: jax.Array  # [N] f32 last emission time [tmin]
+    em_pos: jax.Array  # [N, 3] f32 last emission position (packet.h
+    # em_pos; feeds the TRACE_EMISSION_ABSORPTION velocity ranking,
+    # spectrum.cc:11-136)
     nscatterings: jax.Array  # [N] int32
     interactions: jax.Array  # [N] int32
     rng_count: jax.Array  # [N] int32 per-packet event counter
@@ -250,6 +253,7 @@ def init_pellets(cfg: SimConfig, g: Grid, dm: decay_mod.DecayModel,
         escape_type=i32(np.zeros(npkts)),
         escape_time=f32(np.full(npkts, -1.0)),
         em_time=f32(np.full(npkts, 1.0)),
+        em_pos=f32(pos),
         nscatterings=i32(np.zeros(npkts)),
         interactions=i32(np.zeros(npkts)),
         rng_count=i32(np.zeros(npkts)),

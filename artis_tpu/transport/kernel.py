@@ -781,7 +781,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         prop_time=tdecay)
     upd(m_particle & (is_bminus | is_alpha),
         ptype=TYPE_NONTHERMAL_PREDEPOSIT, pos=pos_dec, prop_time=tdecay,
-        em_time=tdecay)
+        em_time=tdecay, em_pos=pos_dec)
 
     # gamma decay (pellet_gamma_decay, gammapkt.cc:256-321); the line
     # frequency was pre-sampled at pellet init (packets.py), since it
@@ -796,7 +796,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     upd(m_gline, ptype=TYPE_GAMMA, pos=pos_dec, prop_time=tdecay,
         dirvec=dir_rf, nu_cmf=nu_line, nu_rf=nu_line / dopp,
         e_rf=pk.e_cmf / dopp, last_cross=geo.BOUNDARY_NONE,
-        em_time=tdecay)
+        em_time=tdecay, em_pos=pos_dec)
     # no known gamma spectrum -> thermalise (gammapkt.cc:266-270)
     upd(m_gamma & ~has_lines, ptype=TYPE_KPKT,
         nscatterings=jnp.int32(0), pos=pos_dec,
@@ -1215,7 +1215,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(ma_rad, ptype=TYPE_RPKT, nu_cmf=nu_ma,
             nu_rf=nu_ma / dopp_ma, e_rf=pk.e_cmf / dopp_ma,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
-            em_time=pk.prop_time, next_trans=k_line + 1,
+            em_time=pk.prop_time, em_pos=pk.pos,
+            next_trans=k_line + 1,
             nscatterings=jnp.int32(0), emissiontype=k_line)
         if "line_em" in est:
             est_line_em = est_line_em.at[
@@ -1226,7 +1227,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(ma_radrec, ptype=TYPE_RPKT, nu_cmf=nu_rec,
             nu_rf=nu_rec / dopp_ma, e_rf=pk.e_cmf / dopp_ma,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
-            em_time=pk.prop_time, next_trans=jnp.int32(-1),
+            em_time=pk.prop_time, em_pos=pk.pos,
+            next_trans=jnp.int32(-1),
             nscatterings=jnp.int32(0),
             emissiontype=-1 - k_cont)
         # collisional deexcitation/recombination -> k-packet
@@ -1376,6 +1378,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(k_ff, ptype=TYPE_RPKT, nu_cmf=nu_ff, nu_rf=nu_ff / dopp_k,
             e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
             last_cross=geo.BOUNDARY_NONE, em_time=t_k,
+        em_pos=pk.pos,
             nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
             emissiontype=jnp.int32(EMTYPE_FREEFREE))
 
@@ -1445,6 +1448,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         upd(k_fb, ptype=TYPE_RPKT, nu_cmf=nu_fb, nu_rf=nu_fb / dopp_k,
             e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
             last_cross=geo.BOUNDARY_NONE, em_time=t_k,
+        em_pos=pk.pos,
             nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
             emissiontype=-1 - k_fb_cont)
 
@@ -1491,6 +1495,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     upd(m_kbb, ptype=TYPE_RPKT, nu_cmf=nu_pl, nu_rf=nu_pl / dopp_k,
         e_rf=new["e_cmf"] / dopp_k, dirvec=dir_k,
         last_cross=geo.BOUNDARY_NONE, em_time=t_k,
+        em_pos=pk.pos,
         nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
         stokes_q=jnp.float32(0.0), stokes_u=jnp.float32(0.0),
         emissiontype=jnp.int32(EMTYPE_FREEFREE))
@@ -2089,12 +2094,14 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             upd(ev_escat, dirvec=dir_p, nu_rf=nu_cmf_n / dopp_p,
                 e_rf=e_cmf_n / dopp_p, last_cross=geo.BOUNDARY_NONE,
                 nscatterings=pk.nscatterings + 1, em_time=t_n,
+                em_pos=pos_n,
                 next_trans=j_new, stokes_q=q_p, stokes_u=u_p,
                 absorptiontype=jnp.int32(ABSTYPE_ESCAT))
         else:
             upd(ev_escat, dirvec=dir_r, nu_rf=nu_cmf_n / dopp_r,
                 e_rf=e_cmf_n / dopp_r, last_cross=geo.BOUNDARY_NONE,
                 nscatterings=pk.nscatterings + 1, em_time=t_n,
+                em_pos=pos_n,
                 next_trans=j_new,
                 absorptiontype=jnp.int32(ABSTYPE_ESCAT))
         upd(ev_ff, ptype=TYPE_KPKT, next_trans=jnp.int32(-1),
@@ -2212,7 +2219,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
 
     upd(ev_r, dirvec=dir_r, nu_rf=nu_cmf_n / dopp_r,
         e_rf=e_cmf_n / dopp_r, last_cross=geo.BOUNDARY_NONE,
-        nscatterings=pk.nscatterings + 1, em_time=t_n)
+        nscatterings=pk.nscatterings + 1, em_time=t_n,
+        em_pos=pos_n)
     cnt["escounter"] += mcount(ev_r)
     cnt["interactions"] += mcount(take_event) - n_line_pass
 

@@ -45,6 +45,15 @@ def main():
     cfg.multibin_radfield_on = True
     cfg.radfield_nbins = 64
     cfg.detailed_bf_estimators = True
+    # the refbuild validation build lowers the NLTE-radfield activation
+    # gates so the 10-timestep fixture exercises the multibin machinery
+    # (build_reference.sh: FIRST_NLTE_RADFIELD_TIMESTEP=7,
+    # DETAILED_BF_ESTIMATORS_USEFROMTIMESTEP=7; stock nltenebular
+    # values are 12/13, artisoptions_nltenebular.h:99,119)
+    cfg.first_nlte_radfield_ts = int(
+        os.environ.get("FIRST_NLTE_RADFIELD_TS", 7))
+    cfg.detailed_bfest_from_ts = int(
+        os.environ.get("DETAILED_BFEST_FROM_TS", 7))
     cfg.sf_points = int(os.environ.get("SFPTS", 512))
     # the reference CI nebular test disables the Auger contribution
     # (setup_nebularonezone.sh: SF_AUGER_CONTRIBUTION_ON false)
