@@ -40,11 +40,14 @@ def main():
     ap.add_argument("--time", type=float, nargs=2,
                     default=[320.0, 340.0], help="window [days]")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--data", default=None,
+                    help="directory with the atomic dataset "
+                         "(default: RUNDIR)")
     args = ap.parse_args()
 
     from artis_tpu.atomic import read_atomic_data
 
-    ad = read_atomic_data(args.rundir)
+    ad = read_atomic_data(args.data or args.rundir)
     p = np.genfromtxt(os.path.join(args.rundir, "packets00_0000.out"),
                       names=True)
     esc = p["type_id"] == 32
