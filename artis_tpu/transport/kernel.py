@@ -2243,8 +2243,13 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     # =====================================================================
     if vpkt and "vpkt_I" in est:
         if detailed:
+            # the reference peels at electron scatters, kpkt and MA
+            # re-emissions (vpkt_call_estimators call sites,
+            # rpkt.cc:362, kpkt.cc, macroatom.cc) — NOT at thick-cell
+            # grey scatters (rpkt_event_thickcell has no vpkt call,
+            # rpkt.cc:491-509; their exp(-tau_obs) is ~0 anyway)
             vp_iso = k_ff | k_fb | m_kbb | ma_rad | ma_radrec
-            vp_dip = ev_escat | ev_r
+            vp_dip = ev_escat
         else:
             vp_iso = m_kbb
             vp_dip = ev_r
