@@ -56,32 +56,40 @@ def _events(d):
             + d["pellet_decays"])
 
 
-def _run_sim_bench(sim, npkts, label, nsteps=3):
+def _run_sim_bench(sim, npkts, label, nsteps=None):
+    nsteps = nsteps or int(os.environ.get("BENCH_NSTEPS", 3))
     # timestep 0 includes compilation
     sim.advance_one_timestep(checkpoint=False, verbose=False)
     t0 = time.time()
     events = 0
     iters = 0
     t_solve = 0.0
-    for _ in range(nsteps):
+    out = None
+    for step in range(nsteps):
         sim.advance_one_timestep(checkpoint=False, verbose=False)
         d = sim.dep_log[-1]
         events += _events(d)
         iters += d.get("iterations", 0)
         t_solve += d.get("t_solve_s", 0.0) + d.get("t_tables_s", 0.0)
-    wall = time.time() - t0
-    eps = events / wall
-    return {
-        "metric": f"packet-events/s/chip ({label}, {npkts} packets, "
-                  "vs reference sn3d on host)",
-        "value": round(eps, 1),
-        "unit": "events/s",
-        "vs_baseline": round(eps / REF_EVENTS_PER_S, 3),
-        "events": int(events),
-        "wall_s": round(wall, 1),
-        "kernel_iterations": int(iters),
-        "host_solve_s": round(t_solve, 1),
-    }
+        wall = time.time() - t0
+        eps = events / wall
+        out = {
+            "metric": f"packet-events/s/chip ({label}, {npkts} "
+                      "packets, vs reference sn3d on host)",
+            "value": round(eps, 1),
+            "unit": "events/s",
+            "vs_baseline": round(eps / REF_EVENTS_PER_S, 3),
+            "events": int(events),
+            "wall_s": round(wall, 1),
+            "kernel_iterations": int(iters),
+            "host_solve_s": round(t_solve, 1),
+            "timesteps_measured": step + 1,
+        }
+        # progressive emission: a stage timeout still leaves the last
+        # completed-timestep measurement in captured stdout
+        if step < nsteps - 1:
+            print(json.dumps(out), flush=True)
+    return out
 
 
 def stage_detailed(force_cpu=False):
@@ -148,8 +156,22 @@ def _run_stage(stage, timeout_s, force_cpu=False, extra_env=None):
     try:
         res = subprocess.run(argv, capture_output=True, text=True,
                              timeout=timeout_s, env=env)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as exc:
         sys.stderr.write(f"bench stage {stage}: timeout {timeout_s}s\n")
+        # progressive per-timestep lines mean a timed-out stage still
+        # yields its last completed measurement
+        partial = exc.stdout or b""
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        for line in reversed(partial.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                    d["stage_timed_out"] = True
+                    return d
+                except json.JSONDecodeError:
+                    continue
         return None
     for line in reversed(res.stdout.splitlines()):
         line = line.strip()
