@@ -57,7 +57,8 @@ def _events(d):
 
 
 def _run_sim_bench(sim, npkts, label, nsteps=None):
-    nsteps = nsteps or int(os.environ.get("BENCH_NSTEPS", 3))
+    if nsteps is None:
+        nsteps = int(os.environ.get("BENCH_NSTEPS", 3))
     # timestep 0 includes compilation
     sim.advance_one_timestep(checkpoint=False, verbose=False)
     t0 = time.time()
@@ -73,8 +74,14 @@ def _run_sim_bench(sim, npkts, label, nsteps=None):
         t_solve += d.get("t_solve_s", 0.0) + d.get("t_tables_s", 0.0)
         wall = time.time() - t0
         eps = events / wall
+        import jax
+        # label every progressive line, not just the final one, so a
+        # timed-out force_cpu stage can never surface a CPU number as
+        # a TPU-comparable measurement (ADVICE r3)
+        prefix = ("CPU-FALLBACK (TPU tunnel down) "
+                  if jax.default_backend() == "cpu" else "")
         out = {
-            "metric": f"packet-events/s/chip ({label}, {npkts} "
+            "metric": f"{prefix}packet-events/s/chip ({label}, {npkts} "
                       "packets, vs reference sn3d on host)",
             "value": round(eps, 1),
             "unit": "events/s",
@@ -140,9 +147,9 @@ STAGES = {"grey": stage_grey, "detailed": stage_detailed}
 
 
 def _child(stage, force_cpu):
+    # metric labeling (incl. the CPU-FALLBACK prefix) happens inside
+    # _run_sim_bench so progressive lines are labeled too
     out = STAGES[stage](force_cpu=force_cpu)
-    if force_cpu:
-        out["metric"] = "CPU-FALLBACK (TPU tunnel down) " + out["metric"]
     print(json.dumps(out), flush=True)
 
 

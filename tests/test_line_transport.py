@@ -125,6 +125,7 @@ def make_rpkts(n, r0=0.02, nu_cmf=6e14, t0=1.0, seed=1):
         pellet_nucindex=i32(0), pellet_decaytype=i32(0),
         from_particle=jnp.zeros(n, bool),
         escape_type=i32(0), escape_time=f32(-1.0), em_time=f32(t0),
+        em_pos=pos,
         nscatterings=i32(0), interactions=i32(0),
         rng_count=i32(0), pkt_id=jnp.arange(n, dtype=jnp.int32),
         nu_decay=f32(0.0), next_trans=i32(-1), ma_level=i32(0),
