@@ -177,9 +177,15 @@ class SimConfig:
     # --- numerics
     real_dtype: str = "float32"  # device real dtype for transport
     max_transport_iters: int = 2_000_000  # safety cap on event loop
-    # events per device invocation; bounded so single executions stay
-    # short (execution-deadline/preemption friendly)
-    transport_chunk_iters: int = 512
+    # hard cap on events per device invocation; single executions stay
+    # short (execution-deadline/preemption friendly). The actual count
+    # per chunk is chosen adaptively below this cap (chunk_target_s).
+    transport_chunk_iters: int = 4096
+    # target wall seconds per device invocation: the driver picks the
+    # iteration count per chunk from a measured per-batch-size cost
+    # model so compaction cadence stays ~constant in wall time at
+    # every batch size (and single executions stay tunnel-friendly)
+    chunk_target_s: float = 2.5
     # smallest batch the ragged-tail compaction will shrink to (keep
     # >= the VPU lane tile on TPU; tests use smaller values)
     compact_min_size: int = 512

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time as _time
 from functools import partial
@@ -213,20 +214,25 @@ class Simulation:
         self._grid_static = ("spherical" if model.ndim == 1 else "uniform",
                              self.grid.ncoordgrid[0])
         self._step_fn = self._make_step_fn()
-        # events per device call; adapted at runtime to keep single
-        # executions in a healthy wall-time band (traced, so changing
-        # it does not recompile). The initial value scales inversely
-        # with batch size so the very first execution stays short.
-        base = cfg.transport_chunk_iters * 100_000 // max(cfg.npkts, 1)
-        if self.detailed:
-            # the detailed body is ~10x heavier per iteration than the
-            # grey one (line walk + table sampling); a long first
-            # execution is the known TPU-tunnel crash trigger
-            # (skills/verify), so start small and let the 4..20 s
-            # adaptive band grow it
-            base //= 8
-        self._chunk_iters = int(np.clip(base, 16,
-                                        cfg.transport_chunk_iters))
+        # Chunk sizing is driven by a measured per-batch-size cost
+        # model: iterations per device call = target_s / (s/iter at
+        # this batch size). Batch sizes quantize to npkts/2^k (the
+        # compaction ladder), so a dict keyed by size converges after
+        # one chunk per size. This keeps the compaction cadence tied
+        # to wall time at EVERY size — the round-3 pathology was a
+        # single adaptive iteration count carried across sizes and
+        # timesteps, which let one full-size chunk run 3200 iterations
+        # (59 s) while the active set collapsed to 2% (the analogue of
+        # the reference's per-pass packet sort cadence,
+        # update_packets.cc:249-320).
+        self._chunk_cost: dict[int, float] = {}  # size -> EMA s/iter
+        self._chunk_target_s = cfg.chunk_target_s
+        # prior for unmeasured sizes (measured on TPU v5e, round 4:
+        # detailed ~157 ns/lane/iter, grey ~40; + ~0.3 ms dispatch
+        # floor per iteration)
+        self._lane_ns_guess = 165.0 if self.detailed else 45.0
+        self._chunk_iters = self._pick_chunk_iters(cfg.npkts)
+        self._compact_fns: dict[tuple[int, int], object] = {}
 
         self.nts_done = cfg.itstep  # next timestep to run
         self.dep_log: list[dict] = []
@@ -329,6 +335,60 @@ class Simulation:
             from . import parallel as parallel_mod
             return parallel_mod.replicate(tables, self.mesh)
         return tables
+
+    _CHUNK_ITER_FLOOR_S = 3e-4  # per-iteration dispatch floor (TPU)
+
+    def _pred_iter_s(self, size: int) -> float:
+        """Predicted seconds per kernel iteration at ``size`` lanes."""
+        if size in self._chunk_cost:
+            return self._chunk_cost[size]
+        floor = self._CHUNK_ITER_FLOOR_S
+        if self._chunk_cost:
+            # scale linearly in lanes from the geometrically nearest
+            # measured size (cost is ~linear down to ~4k lanes)
+            s0 = min(self._chunk_cost,
+                     key=lambda s: abs(math.log(s / size)))
+            return max(floor, (self._chunk_cost[s0] - floor)
+                       * size / s0 + floor)
+        return size * self._lane_ns_guess * 1e-9 + floor
+
+    def _pick_chunk_iters(self, size: int) -> int:
+        it = int(self._chunk_target_s
+                 / max(self._pred_iter_s(size), 1e-7))
+        return int(np.clip(it, 16, self.cfg.transport_chunk_iters))
+
+    def _note_chunk_cost(self, size: int, iters: int, dt: float,
+                         ran_full: bool):
+        """EMA-update the per-size cost model after a chunk. Chunks
+        that early-exited the while_loop (active set hit zero) ran
+        fewer iterations than requested and are skipped."""
+        if not ran_full or iters <= 0 or dt <= 0:
+            return
+        per = dt / iters
+        old = self._chunk_cost.get(size)
+        self._chunk_cost[size] = per if old is None else 0.5 * (old
+                                                                + per)
+
+    def _compact_fn(self, in_size: int, new_size: int):
+        """Jitted device-side compaction: stable-partition the active
+        packets to the front and gather the first ``new_size`` rows.
+        Returns (small_batch, row_indices). Cached per shape pair (the
+        compaction ladder is npkts/2^k, so the set is O(log N))."""
+        key = (in_size, new_size)
+        fn = self._compact_fns.get(key)
+        if fn is None:
+            from .transport.kernel import packets_active
+
+            @jax.jit
+            def fn(pk, t2):
+                act = packets_active(pk, t2)
+                perm = jnp.argsort(jnp.logical_not(act), stable=True)
+                idx = perm[:new_size]
+                small = jax.tree.map(lambda a: a[idx], pk)
+                return small, idx
+
+            self._compact_fns[key] = fn
+        return fn
 
     def _place_batch(self, pk: PacketBatch) -> PacketBatch:
         """Re-place a packet batch on device(s): sharded over the mesh
@@ -1223,6 +1283,7 @@ class Simulation:
                              jnp.asarray(i))
                             for p, i in snap_stack]
                     pending_restore = False
+                self._chunk_iters = self._pick_chunk_iters(pk.n)
                 pk, est, n_active = self._step_fn(
                     pk, est, tables, self.params, t2_f32, nts == 0,
                     self.base_key, jnp.int32(self._chunk_iters))
@@ -1240,8 +1301,9 @@ class Simulation:
                 _time.sleep(min(30.0 * crash_retries, 180.0))
                 pending_restore = True
                 # long executions are a suspected crash trigger on the
-                # tunnel: resume with smaller chunks
-                self._chunk_iters = max(32, self._chunk_iters // 4)
+                # tunnel: resume with shorter device executions
+                self._chunk_target_s = max(0.75,
+                                           self._chunk_target_s * 0.5)
                 continue
             crash_retries = 0
             if _time.time() - last_snap_t >= snap_every:
@@ -1255,12 +1317,8 @@ class Simulation:
                 last_snap_t = _time.time()
             dt_chunk = _time.time() - t_chunk
             iters_done += self._chunk_iters
-            # keep device executions in a 4..20 s band (the tunnel can
-            # kill long single executions, see skills/verify)
-            if dt_chunk > 20.0 and self._chunk_iters > 32:
-                self._chunk_iters = max(32, self._chunk_iters // 2)
-            elif dt_chunk < 4.0 and n_act > 0:
-                self._chunk_iters = min(8192, self._chunk_iters * 2)
+            self._note_chunk_cost(pk.n, self._chunk_iters, dt_chunk,
+                                  ran_full=n_act > 0)
             if verbose and chunks % 20 == 0:
                 print(f"  [ts {nts}] chunk {chunks}: "
                       f"{n_act}/{pk.n} packets still in flight",
@@ -1493,6 +1551,18 @@ class Simulation:
             new_size //= 2
         if new_size >= size:
             return pk, stack
+        if self.mesh is None:
+            # device-side: stable-partition active rows to the front
+            # and keep the first new_size (>= 1.3*n_act, so every
+            # active row fits; the tail rows are genuinely inactive
+            # packets, which _event_step leaves untouched, so the
+            # unwind scatter writes them back unchanged). No host
+            # round-trip of the megabatch.
+            small, idx = self._compact_fn(size, new_size)(pk, t2_f32)
+            stack.append((pk, idx))
+            return small, stack
+        # sharded path: host-side gather (keeps per-device row counts
+        # equal; new_size % ndev == 0 enforced above)
         active = np.asarray(
             (np.asarray(pk.ptype) != 32)
             & (np.asarray(pk.prop_time) < float(t2_f32)))

@@ -119,8 +119,11 @@ def test_detailed_sim_sharded_matches_single_device():
         np.testing.assert_allclose(d8["gamma_dep_Lsun"],
                                    d1["gamma_dep_Lsun"], rtol=0.05)
         if d1["ma_activations"] > 100:
+            # two ~110-count realisations differ by sqrt(2*110) ~ 15
+            # at 1 sigma; 0.4*n ~ 3 sigma (0.25 flaked at 1.8 sigma —
+            # a double count would show as 1.0*n)
             assert (abs(d8["ma_activations"] - d1["ma_activations"])
-                    <= 0.25 * d1["ma_activations"])
+                    <= 0.4 * d1["ma_activations"])
     np.testing.assert_allclose(s8.grid.Te, s1.grid.Te, rtol=0.08)
     np.testing.assert_allclose(s8.grid.TR, s1.grid.TR, rtol=0.08)
 
