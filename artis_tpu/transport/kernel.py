@@ -2247,7 +2247,8 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             # re-emissions (vpkt_call_estimators call sites,
             # rpkt.cc:362, kpkt.cc, macroatom.cc) — NOT at thick-cell
             # grey scatters (rpkt_event_thickcell has no vpkt call,
-            # rpkt.cc:491-509; their exp(-tau_obs) is ~0 anyway)
+            # rpkt.cc:491-509); creation in a thick cell and rays
+            # entering thick cells are killed inside the march below
             vp_iso = k_ff | k_fb | m_kbb | ma_rad | ma_radrec
             vp_dip = ev_escat
         else:
@@ -2309,11 +2310,24 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                                         mgi_l, blc), 0.0)
                     chi_det = (march_scalar("chi_thomson", CP_CHI_TH)
                                + kff_l + chibf_l + chiline_l)
-                    chi_l = jnp.where(thick_l, chi_l, chi_det)
+                    chi_l = chi_det
                 chi_l = jnp.where(mgi_l >= nmodel, 0.0, chi_l) * dpp
-                tau_n2 = taum + jnp.where(alive, chi_l * sd, 0.0)
+                # thick-cell kill (detailed mode only — grey-mode
+                # cells are all flagged thick by construction): the
+                # reference never creates vpkts in thick cells
+                # (vpkt_call_estimators, vpkt.cc:846-849) and kills
+                # any vpkt whose ray enters one (vpkt.cc:304-307).
+                # Step 0's current cell is the creation cell, so one
+                # rule covers both: infinite tau.
+                in_thick = (thick_l & (mgi_l < nmodel)
+                            if detailed
+                            else jnp.zeros_like(thick_l))
+                tau_n2 = taum + jnp.where(
+                    alive, jnp.where(in_thick, jnp.float32(1e30),
+                                     chi_l * sd), 0.0)
                 escd = snx == -99
-                alive_n = alive & ~escd & (tau_n2 < params.vpkt_tau_max)
+                alive_n = (alive & ~escd & ~in_thick
+                           & (tau_n2 < params.vpkt_tau_max))
                 return (posm + obs_b * sd[:, None], tm + sd,
                         jnp.where(escd, cellm, snx), lc_n, tau_n2,
                         alive_n)

@@ -161,6 +161,30 @@ def test_vpkt_grid_image():
     assert os.path.exists("/tmp/vgrid_out/vpkt_grid.out")
 
 
+def test_vpkt_thick_cells_kill_peels(monkeypatch):
+    """The reference neither creates vpkts in thick cells
+    (vpkt_call_estimators, vpkt.cc:846-849) nor lets a vpkt ray cross
+    one (vpkt.cc:304-307). With every cell forced thick, the peeled
+    observer spectrum of a detailed run must be exactly zero."""
+    from artis_tpu.atomic import make_synthetic_atomic_data
+    import artis_tpu.driver as drv
+
+    def all_thick(g, cfg, nts, tmid):
+        g.thick = np.ones(g.nmodel, dtype=np.int32)
+
+    monkeypatch.setattr(drv, "update_thick_flags", all_thick)
+    cfg = SimConfig(npkts=600, ntimesteps=2, tmin_days=3.0,
+                    tmax_days=8.0, ftstep=2, opacity_case=4,
+                    grey_op=0.1, seed=13, num_grey_timesteps=0,
+                    vpkt_on=True, vpkt_obs=((0.0, 0.0, 1.0),),
+                    vpkt_nnubins=32, compact_min_size=64)
+    model = make_toy_1d_model(nshells=6, tmin=cfg.tmin)
+    ad = make_synthetic_atomic_data()
+    sim = Simulation(model, cfg, atomic_data=ad)
+    sim.run(verbose=False, checkpoint=False)
+    assert float(np.asarray(sim.vspec_I).sum()) == 0.0
+
+
 def test_binned_line_tau_matches_exact_sobolev_sum():
     """The vpkt ray-march integrates the binned line opacity along the
     comoving frequency sweep; with raw-tau binning this must
