@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main():
+    if os.environ.get("FORCE_CPU", "0") == "1":
+        # must run before any jax computation (jax is pre-imported
+        # with the TPU platform in this environment)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     inputdir = sys.argv[1]
     outdir = sys.argv[2] if len(sys.argv) > 2 else "out_kilonova"
 
