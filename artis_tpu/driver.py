@@ -211,7 +211,14 @@ class Simulation:
                 self.mesh)
         self.params = self._build_params()
         self.base_key = make_base_key(cfg.seed)
-        self._grid_static = ("spherical" if model.ndim == 1 else "uniform",
+        # kernel geometry follows the PROPAGATION grid, not the model
+        # dimensionality: a 1D model propagated on the forced-uniform
+        # 3D Cartesian grid (cfg.grid_force_uniform, the reference's
+        # default kilonova mode, map_1dmodeltogrid grid.cc:910) needs
+        # the uniform boundary code
+        self._grid_static = ("spherical"
+                             if self.grid.grid_type == GRID_SPHERICAL1D
+                             else "uniform",
                              self.grid.ncoordgrid[0])
         self._step_fn = self._make_step_fn()
         # Chunk sizing is driven by a measured per-batch-size cost

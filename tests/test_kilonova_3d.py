@@ -102,10 +102,28 @@ def test_1d_model_on_uniform_3d_grid():
     # total pellet energy within volume-discretisation error
     assert abs(s3.etot / s1.etot - 1) < 0.05
 
+    # the kernel geometry must follow the PROPAGATION grid: round 3
+    # selected it by model.ndim, so this mode ran the spherical
+    # boundary code against cube coordinates — packets walked cell+1
+    # with frozen clocks (268M bogus crossings/ts in the kilonova_3d
+    # validation run)
+    assert s3._grid_static[0] == "uniform"
+
     s3.run(checkpoint=False, verbose=False)
     d1 = np.array([d["gamma_dep_Lsun"] + d["positron_dep_Lsun"]
                    for d in s1.dep_log])
     d3 = np.array([d["gamma_dep_Lsun"] + d["positron_dep_Lsun"]
                    for d in s3.dep_log])
     assert np.all(np.abs(d3 / d1 - 1) < 0.15)
+    # crossing-count sanity: a 14^3 grid transit is ~3*14 crossings;
+    # the broken geometry walked hundreds of cells per packet per ts
+    cross_per_pkt_ts = (sum(d["cellcrossings"] for d in s3.dep_log)
+                        / (4000 * len(s3.dep_log)))
+    assert cross_per_pkt_ts < 100, cross_per_pkt_ts
+    # radiation field per shell matches the spherical run (MC noise at
+    # 4000 packets; inner shells carry few propagation cells)
+    J1 = np.asarray(s1.est_prev["J"][:12])
+    J3 = np.asarray(s3.est_prev["J"][:12])
+    m = J1 > 0.05 * J1.max()
+    assert np.median(np.abs(J3[m] / J1[m] - 1)) < 0.25
     assert np.all(np.isfinite(s3.grid.Te))
