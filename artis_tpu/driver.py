@@ -1185,7 +1185,13 @@ class Simulation:
                        * self.units.time_to_sim(float(self.ts.width[nts])))
         self.params = dataclasses.replace(
             self.params, kpkt_diffusion_dt=jnp.float32(dt_diff))
+        t_up0 = _time.time()
         tables = self._place_tables(self._tables(tmid))
+        # block on the largest array so the host->device upload cost
+        # is attributed here rather than to the first chunk
+        jax.block_until_ready(max(tables.values(),
+                                  key=lambda v: getattr(v, "size", 0)))
+        t_tables_up = _time.time() - t_up0
 
         # per-timestep grid-state rows in the reference's
         # estimators_XXXX.out format (update_grid.cc:42-658), written
@@ -1244,6 +1250,13 @@ class Simulation:
                               jb_nsel=self._jb_nsel())
         chunks = 0
         iters_done = 0
+        # per-phase wall-time tracing (the analogue of the reference's
+        # per-phase printouts, sn3d.cc:553-554): chunks = device
+        # executions; snap = crash-recovery snapshots (tunnel
+        # transfers); compact = tail compaction; estfetch = estimator
+        # device->host fetch
+        self._t_phase = {"tables_up": t_tables_up, "chunks": 0.0,
+                         "snap": 0.0, "compact": 0.0, "estfetch": 0.0}
         compact_stack: list[tuple[PacketBatch, jax.Array]] = []
         t2_f32 = jnp.float32(t2_sim)
         # host-side snapshot for in-process recovery from a device /
@@ -1313,7 +1326,10 @@ class Simulation:
                                            self._chunk_target_s * 0.5)
                 continue
             crash_retries = 0
+            dt_chunk = _time.time() - t_chunk
+            self._t_phase["chunks"] += dt_chunk
             if _time.time() - last_snap_t >= snap_every:
+                t_s0 = _time.time()
                 # stack entries are immutable once pushed: snapshot
                 # only the new ones
                 while len(snap_stack) < len(compact_stack):
@@ -1322,7 +1338,7 @@ class Simulation:
                 snap = (to_numpy(pk),
                         {k: np.asarray(v) for k, v in est.items()})
                 last_snap_t = _time.time()
-            dt_chunk = _time.time() - t_chunk
+                self._t_phase["snap"] += _time.time() - t_s0
             iters_done += self._chunk_iters
             self._note_chunk_cost(pk.n, self._chunk_iters, dt_chunk,
                                   ran_full=n_act > 0)
@@ -1336,10 +1352,13 @@ class Simulation:
                 raise RuntimeError(
                     f"transport did not converge: {n_act} packets "
                     f"active after {chunks} chunks")
+            t_c0 = _time.time()
             pk, compact_stack = self._maybe_compact(
                 pk, n_act, t2_f32, compact_stack)
+            self._t_phase["compact"] += _time.time() - t_c0
         # unwind compactions: scatter tail results back into the full
         # batch (padded rows carry out-of-range indices and are dropped)
+        t_c0 = _time.time()
         while compact_stack:
             parent, idx_pad = compact_stack.pop()
             pk = jax.tree.map(
@@ -1347,9 +1366,12 @@ class Simulation:
                 parent, pk)
             pk = self._place_batch(pk)
         self.packets = pk
+        self._t_phase["compact"] += _time.time() - t_c0
 
+        t_e0 = _time.time()
         est_np = {k: float(v) if np.asarray(v).ndim == 0 else np.asarray(v)
                   for k, v in est.items()}
+        self._t_phase["estfetch"] = _time.time() - t_e0
         return self._finish_timestep(nts, tmid, est_np, t_start,
                                       verbose)
 
@@ -1479,6 +1501,10 @@ class Simulation:
                      if hasattr(self, "_t_solve") else "")
                   + (f"; tables {self._t_tables_ma:.1f}s"
                      if hasattr(self, "_t_tables_ma") else "")
+                  + (("; " + " ".join(
+                      f"{k} {v:.1f}s"
+                      for k, v in self._t_phase.items() if v >= 0.05))
+                     if hasattr(self, "_t_phase") else "")
                   + ")")
 
         self.nts_done = nts + 1
@@ -1619,6 +1645,9 @@ class Simulation:
             # per-phase wall times (tracing; sn3d.cc:553-554 analogue)
             **({"t_solve_s": round(self._t_solve, 3)}
                if hasattr(self, "_t_solve") else {}),
+            **({f"t_{k}_s": round(v, 3)
+                for k, v in self._t_phase.items()}
+               if hasattr(self, "_t_phase") else {}),
             **({"t_tables_s": round(self._t_tables_ma, 3)}
                if hasattr(self, "_t_tables_ma") else {}),
         })
