@@ -1369,11 +1369,48 @@ class Simulation:
         self._t_phase["compact"] += _time.time() - t_c0
 
         t_e0 = _time.time()
-        est_np = {k: float(v) if np.asarray(v).ndim == 0 else np.asarray(v)
-                  for k, v in est.items()}
+        est_np = self._fetch_estimators(est)
         self._t_phase["estfetch"] = _time.time() - t_e0
         return self._finish_timestep(nts, tmid, est_np, t_start,
                                       verbose)
+
+    def _fetch_estimators(self, est: dict) -> dict:
+        """Device->host fetch of the whole estimator dict in TWO
+        transfers (one float, one integer) instead of one RPC per
+        leaf — per-leaf fetches over the TPU tunnel cost a round-trip
+        each (~3 s/timestep at ~35 leaves)."""
+        keys = sorted(est)
+        sig = tuple((k, est[k].dtype.str, est[k].shape) for k in keys)
+        if getattr(self, "_est_pack_sig", None) != sig:
+            fkeys = [k for k in keys
+                     if jnp.issubdtype(est[k].dtype, jnp.floating)]
+            ikeys = [k for k in keys if k not in fkeys]
+
+            @jax.jit
+            def packer(e):
+                fv = (jnp.concatenate(
+                    [e[k].ravel().astype(jnp.float32) for k in fkeys])
+                    if fkeys else jnp.zeros(0, jnp.float32))
+                iv = (jnp.concatenate(
+                    [e[k].ravel().astype(jnp.int32) for k in ikeys])
+                    if ikeys else jnp.zeros(0, jnp.int32))
+                return fv, iv
+
+            self._est_pack_fn = packer
+            self._est_pack_keys = (fkeys, ikeys)
+            self._est_pack_sig = sig
+        fkeys, ikeys = self._est_pack_keys
+        fv, iv = self._est_pack_fn(est)
+        fv, iv = np.asarray(fv), np.asarray(iv)
+        out = {}
+        for vec, group in ((fv, fkeys), (iv, ikeys)):
+            off = 0
+            for k in group:
+                n = int(np.prod(est[k].shape)) if est[k].shape else 1
+                v = vec[off:off + n].reshape(est[k].shape)
+                out[k] = float(v) if v.ndim == 0 else v
+                off += n
+        return out
 
     def _transport_domain(self, nts, tables, t2_sim):
         """Grid-domain-decomposed transport for one timestep
@@ -1586,14 +1623,21 @@ class Simulation:
             return pk, stack
         if self.mesh is None:
             # device-side: stable-partition active rows to the front
-            # and keep the first new_size (>= 1.3*n_act, so every
-            # active row fits; the tail rows are genuinely inactive
-            # packets, which _event_step leaves untouched, so the
-            # unwind scatter writes them back unchanged). No host
-            # round-trip of the megabatch.
-            small, idx = self._compact_fn(size, new_size)(pk, t2_f32)
-            stack.append((pk, idx))
-            return small, stack
+            # and keep the first half (>= 1.3*n_act by the ladder
+            # condition above, so every active row fits; the tail rows
+            # are genuinely inactive packets, which _event_step leaves
+            # untouched, so the unwind scatter writes them back
+            # unchanged). No host round-trip of the megabatch.
+            # Shrinking strictly by HALVES keeps the compiled-shape
+            # ladder fixed at ~log2(npkts) pairs that every timestep
+            # reuses (arbitrary (in, out) pairs made each fresh run
+            # compile new kernels).
+            while pk.n > new_size:
+                half = pk.n // 2
+                small, idx = self._compact_fn(pk.n, half)(pk, t2_f32)
+                stack.append((pk, idx))
+                pk = small
+            return pk, stack
         # sharded path: host-side gather (keeps per-device row counts
         # equal; new_size % ndev == 0 enforced above)
         active = np.asarray(

@@ -44,7 +44,7 @@ def _setup_jax(force_cpu=False):
     # jax is pre-imported at interpreter start in this environment, so
     # os.environ settings are too late — set the config directly
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")

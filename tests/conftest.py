@@ -26,7 +26,7 @@ jax.config.update("jax_platforms", "cpu")
 # jax is pre-imported in this environment, so the cache env vars above
 # are too late for it — set the config values directly too
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 assert jax.devices()[0].platform == "cpu", (

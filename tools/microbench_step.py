@@ -30,7 +30,7 @@ def main():
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
