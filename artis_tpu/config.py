@@ -194,6 +194,12 @@ class SimConfig:
     nnubins_gamma: int = 200
     nnubins_r: int = 1000
 
+    # per-radiative-deactivation macro-atom log (LOG_MACROATOM,
+    # macroatom.cc:677-683 / 905-918): writes macroatom.out rows,
+    # bounded to ma_log_cap rows per timestep (device ring buffer)
+    log_macroatom: bool = False
+    ma_log_cap: int = 65536
+
     # --- data
     data_path: Optional[str] = None  # reference-format data/ dir (optional)
 

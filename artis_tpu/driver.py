@@ -307,6 +307,11 @@ class Simulation:
                 if (self.detailed and self.cfg.multibin_radfield_on)
                 else 0)
 
+
+    def _ma_log_cap(self) -> int:
+        return (self.cfg.ma_log_cap
+                if (self.detailed and self.cfg.log_macroatom) else 0)
+
     def _jb_nsel(self) -> int:
         """Number of lines with detailed Jb_lu estimators
         (DETAILED_LINE_ESTIMATORS_ON; radfield.cc:276-315 selection).
@@ -634,8 +639,11 @@ class Simulation:
     def _tables(self, tmid: Optional[float] = None) -> dict:
         if self.detailed:
             g = self.grid
+            t_sub0 = _time.time()
             levelpops, kff_base, pops = compute_case4_state(
                 g, self.atomic_data, self.units)
+            self._t_tables_sub = {"case4": _time.time() - t_sub0}
+            t_sub0 = _time.time()
             t_mid_s = tmid if tmid is not None else float(self.ts.mid[0])
             ph = self.phixs
             rf_fit = getattr(self, "_radfield_binned", None)
@@ -646,6 +654,7 @@ class Simulation:
             pirates = photoion_mod.compute_rates(
                 self.atomic_data, ph, g.Te, g.TR, g.W, g.nne,
                 radfield=rf_binned)
+            self._t_tables_sub["pirates"] = _time.time() - t_sub0
             bf_gamma = getattr(self, "_bfrate_gamma", None)
             if use_raw and bf_gamma is not None \
                     and bf_gamma.shape == pirates.gamma_corr.shape:
@@ -970,6 +979,10 @@ class Simulation:
                         ad.line_upper[self._sf_solver.exc_lines]
                         .astype(np.int32))
             tables["cell_pack"] = self._cell_pack(tables)
+            self._t_tables_sub["pack"] = (
+                _time.time() - t_sub0
+                - self._t_tables_sub["pirates"]
+                - getattr(self, "_t_tables_ma", 0.0))
             return tables
         tables = grid_device_tables(self.grid, self.cfg, self.units)
         tables["cell_pack"] = self._cell_pack(tables)
@@ -1247,7 +1260,8 @@ class Simulation:
                               syn_emiss_bins=self._syn_emiss_bins(),
                               vgrid_shape=self._vgrid_shape(),
                               n_bfcont=self._n_bfcont(),
-                              jb_nsel=self._jb_nsel())
+                              jb_nsel=self._jb_nsel(),
+                              ma_log_cap=self._ma_log_cap())
         chunks = 0
         iters_done = 0
         # per-phase wall-time tracing (the analogue of the reference's
@@ -1292,7 +1306,8 @@ class Simulation:
                             syn_emiss_bins=self._syn_emiss_bins(),
                             vgrid_shape=self._vgrid_shape(),
                             n_bfcont=self._n_bfcont(),
-                            jb_nsel=self._jb_nsel())
+                            jb_nsel=self._jb_nsel(),
+                            ma_log_cap=self._ma_log_cap())
                         compact_stack, snap_stack = [], []
                     else:
                         pk = self._place_batch(from_numpy(snap[0]))
@@ -1525,6 +1540,14 @@ class Simulation:
                 write_linestat_header(ls_path, self.atomic_data)
             append_linestat(ls_path, est_np["line_em"],
                             est_np["line_ab"])
+        if self.out_dir and "ma_log_i" in est_np:
+            from .output import append_macroatom_log
+            ma_path = os.path.join(self.out_dir, "macroatom.out")
+            if nts == self.cfg.itstep and os.path.exists(ma_path):
+                os.remove(ma_path)
+            append_macroatom_log(
+                ma_path, nts, self.atomic_data, est_np["ma_log_i"],
+                est_np["ma_log_f"], int(est_np["ma_log_n"]))
 
         if verbose:
             e0 = self.units.e0
@@ -1692,6 +1715,9 @@ class Simulation:
             **({f"t_{k}_s": round(v, 3)
                 for k, v in self._t_phase.items()}
                if hasattr(self, "_t_phase") else {}),
+            **({f"t_tab_{k}_s": round(v, 3)
+                for k, v in self._t_tables_sub.items()}
+               if hasattr(self, "_t_tables_sub") else {}),
             **({"t_tables_s": round(self._t_tables_ma, 3)}
                if hasattr(self, "_t_tables_ma") else {}),
         })
@@ -1802,6 +1828,16 @@ class Simulation:
         nts = int(data["nts"])
         pk = {k[len("pkt_"):]: data[k] for k in data.files
               if k.startswith("pkt_")}
+        # fields added after a checkpoint was written default to
+        # their init values (forward-compatible resume)
+        n = len(pk["pos"])
+        for name, fill, dt in (("ma_activ_level", 0, np.int32),
+                               ("ma_activ_line", -99, np.int32),
+                               ("ma_activ_nu_cmf", 0.0, np.float32),
+                               ("ma_activ_nu_rf", 0.0, np.float32),
+                               ("ma_jumps_cur", 0, np.int32)):
+            if name not in pk:
+                pk[name] = np.full(n, fill, dt)
         self.packets = self._place_batch(from_numpy(pk))
         g = self.grid
         g.Te = data["grid_Te"]

@@ -199,6 +199,49 @@ def append_linestat(path: str, em_counts, ab_counts) -> None:
         f.write(" ".join(str(int(round(v))) for v in ab_counts) + " \n")
 
 
+MACROATOM_HEADER = ("timestep modelgridindex element ionstage_in "
+                    "ionstage_out level_in level activatingline "
+                    "nu_cmf_in nu_cmf_out nu_rf_in nu_rf_out jumps\n")
+
+
+def append_macroatom_log(path: str, nts: int, ad, rows_i, rows_f,
+                         nrows: int) -> None:
+    """macroatom.out per-radiative-deactivation rows (LOG_MACROATOM,
+    macroatom.cc:677-683; header macroatom.cc:911-915). ``rows_i``
+    [N, 5] = (mgi, global level_in, global level_out, activatingline,
+    jumps); ``rows_f`` [N, 4] = (nu_cmf_in, nu_cmf_out, nu_rf_in,
+    nu_rf_out). Global level indices map to (Z, ionstage, ion-local
+    level) via the atomic dataset."""
+    import numpy as np
+
+    rows_i = np.asarray(rows_i)[:nrows]
+    rows_f = np.asarray(rows_f)[:nrows]
+
+    def decode(lvl):
+        lvl = np.clip(lvl, 0, ad.nlevels_total - 1)
+        ion = np.searchsorted(ad.ion_level_start, lvl,
+                              side="right") - 1
+        z = ad.elem_z[ad.ion_element[ion]]
+        stage = ad.ion_stage[ion]
+        local = lvl - ad.ion_level_start[ion]
+        return z, stage, local
+
+    z_in, st_in, l_in = decode(rows_i[:, 1])
+    _, st_out, l_out = decode(rows_i[:, 2])
+    new = not os.path.exists(path)
+    with open(path, "a") as f:
+        if new:
+            f.write(MACROATOM_HEADER)
+        for k in range(len(rows_i)):
+            f.write(f"{nts:8d} {int(rows_i[k, 0]):14d} "
+                    f"{int(z_in[k]):2d} {int(st_in[k]):12d} "
+                    f"{int(st_out[k]):12d} {int(l_in[k]):9d} "
+                    f"{int(l_out[k]):9d} {int(rows_i[k, 3]):9d} "
+                    f"{rows_f[k, 0]:11.5e} {rows_f[k, 1]:11.5e} "
+                    f"{rows_f[k, 2]:11.5e} {rows_f[k, 3]:11.5e} "
+                    f"{int(rows_i[k, 4]):9d}\n")
+
+
 ION_STAT_NAMES = [
     # stats.h:12-45 enum order; only the columns the kernel fills are
     # nonzero: 0 radrecomb_ma, 4 bb_ma, 5 bb_absorbed, 6 ntion,

@@ -85,6 +85,14 @@ class PacketBatch:
     # (the reference's packet.next_trans, rpkt.cc:26-65)
     ma_level: jax.Array  # [N] int32 active macro-atom global level
     # index (the reference's mastate, packet.h:21-26)
+    # macro-atom activation snapshot for the LOG_MACROATOM
+    # per-deactivation log (macroatom.cc:677-683): level/line/nu at
+    # activation plus the internal-jump count of this activation
+    ma_activ_level: jax.Array  # [N] int32 global level at activation
+    ma_activ_line: jax.Array  # [N] int32 activating line (-99: not bb)
+    ma_activ_nu_cmf: jax.Array  # [N] f32
+    ma_activ_nu_rf: jax.Array  # [N] f32
+    ma_jumps_cur: jax.Array  # [N] int32 jumps since activation
     stokes_q: jax.Array  # [N] f32 Stokes Q/I (packet.h:59)
     stokes_u: jax.Array  # [N] f32 Stokes U/I
     emissiontype: jax.Array  # [N] int32 last emission process
@@ -261,6 +269,11 @@ def init_pellets(cfg: SimConfig, g: Grid, dm: decay_mod.DecayModel,
         nu_decay=f32(nu_decay),
         next_trans=i32(np.full(npkts, -1)),
         ma_level=i32(np.zeros(npkts)),
+        ma_activ_level=i32(np.zeros(npkts)),
+        ma_activ_line=i32(np.full(npkts, -99)),
+        ma_activ_nu_cmf=f32(np.zeros(npkts)),
+        ma_activ_nu_rf=f32(np.zeros(npkts)),
+        ma_jumps_cur=i32(np.zeros(npkts)),
         stokes_q=f32(np.zeros(npkts)),
         stokes_u=f32(np.zeros(npkts)),
         emissiontype=i32(np.full(npkts, EMTYPE_NOTSET)),

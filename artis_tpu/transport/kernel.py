@@ -165,9 +165,20 @@ def zero_estimators(nmodel: int, radfield_nbins: int = 0,
                     syn_emiss_bins: int = 0,
                     vgrid_shape=None,
                     n_bfcont: int = 0,
-                    jb_nsel: int = 0) -> dict[str, jax.Array]:
+                    jb_nsel: int = 0,
+                    ma_log_cap: int = 0) -> dict[str, jax.Array]:
     z = lambda: jnp.float32(0.0)
     out = {}
+    if ma_log_cap > 0:
+        # LOG_MACROATOM per-radiative-deactivation rows
+        # (macroatom.cc:677-683): int cols [mgi, level_in, level_out,
+        # activatingline, jumps]; float cols [nu_cmf_in, nu_cmf_out,
+        # nu_rf_in, nu_rf_out]. A bounded device ring the driver
+        # drains into macroatom.out each timestep; rows past the cap
+        # are dropped.
+        out["ma_log_i"] = jnp.zeros((ma_log_cap, 5), jnp.int32)
+        out["ma_log_f"] = jnp.zeros((ma_log_cap, 4), jnp.float32)
+        out["ma_log_n"] = jnp.int32(0)
     if jb_nsel > 0:
         # per-line Jb_lu estimators for the selected detailed lines
         # (update_lineestimator, radfield.cc:878-890) stored as
@@ -1281,6 +1292,29 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         cnt["downscatter"] += mcount(ma_rad & (nu_ma < pk.nu_cmf))
         cnt["ma_jumps"] += mcount(ma_down | ma_up_j | ma_downlower
                                   | ma_uphigher)
+        upd(ma_down | ma_up_j | ma_downlower
+            | (ma_uphigher & has_cont),
+            ma_jumps_cur=pk.ma_jumps_cur + 1)
+        if "ma_log_i" in est:
+            # LOG_MACROATOM rows at radiative bb deactivation
+            # (macroatom.cc:677-683); activation snapshot fields carry
+            # level_in / activatingline / nu_in; host maps levels to
+            # (Z, ionstage) when draining into macroatom.out
+            cap_ml = est["ma_log_i"].shape[0]
+            base_ml = est["ma_log_n"]
+            r_ml = jnp.cumsum(ma_rad.astype(jnp.int32)) - 1
+            slot_ml = jnp.where(ma_rad, base_ml + r_ml, cap_ml)
+            rows_i = jnp.stack(
+                [mgi, pk.ma_activ_level, lvl, pk.ma_activ_line,
+                 pk.ma_jumps_cur], axis=1).astype(jnp.int32)
+            rows_f = jnp.stack(
+                [pk.ma_activ_nu_cmf, nu_ma, pk.ma_activ_nu_rf,
+                 nu_ma / dopp_ma], axis=1).astype(jnp.float32)
+            est["ma_log_i"] = est["ma_log_i"].at[slot_ml].set(
+                rows_i, mode="drop")
+            est["ma_log_f"] = est["ma_log_f"].at[slot_ml].set(
+                rows_f, mode="drop")
+            est["ma_log_n"] = base_ml + mcount(ma_rad)
 
     if not detailed:
         colheat_contrib = jnp.float32(0.0) * pk.e_cmf
@@ -2197,6 +2231,20 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         cnt["ma_act_bf"] += mcount(bf_to_ma)
         cnt["k_from_bf"] += mcount(ev_bf & ~bf_to_ma)
         n_line_pass = mcount(line_pass)
+
+        # macro-atom activation snapshot (for the LOG_MACROATOM
+        # per-deactivation rows): any lane that became a macro-atom
+        # this iteration (bb/bf absorption, k-packet collexc/collion,
+        # NT ionisation/excitation) records its entry level and
+        # frequencies; only bb absorption has an activating line
+        became_ma = active & (new["ptype"] == TYPE_MA) \
+            & (pk.ptype != TYPE_MA)
+        upd(became_ma,
+            ma_activ_level=new["ma_level"],
+            ma_activ_line=jnp.where(bb_hit, wl_c, jnp.int32(-99)),
+            ma_activ_nu_cmf=new["nu_cmf"],
+            ma_activ_nu_rf=new["nu_rf"],
+            ma_jumps_cur=jnp.int32(0))
 
         # remember the candidate line index for packets that moved
         # without a line event (boundary/time branches); lines passed

@@ -43,3 +43,22 @@ def test_exspec_cli_matches_driver(tmp_path):
     np.testing.assert_allclose(cli_lc[:, 1], driver_lc[:n, 1],
                                rtol=1e-5)
     assert (tmp_path / "spec.out").exists()
+
+    # multi-rank ingestion (exspec.cc:142-204 loops over
+    # packets00_RRRR.out for every rank): the same packets split over
+    # two rank files must reproduce the single-file spectra exactly
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    with open(tmp_path / "packets00_0000.out") as f:
+        lines = [ln for ln in f if ln.strip()
+                 and not ln.lstrip().startswith("#")]
+    (multi / "packets00_0000.out").write_text("".join(lines[0::2]))
+    (multi / "packets00_0001.out").write_text("".join(lines[1::2]))
+    res2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "exspec.py"),
+         str(multi), "--tmin-days", "2.0", "--tmax-days", "12.0",
+         "--ntimesteps", "4"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert res2.returncode == 0, res2.stderr
+    lc2 = np.loadtxt(multi / "light_curve.out")
+    np.testing.assert_allclose(lc2[:, 1], cli_lc[:, 1], rtol=1e-6)

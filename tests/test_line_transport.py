@@ -129,6 +129,9 @@ def make_rpkts(n, r0=0.02, nu_cmf=6e14, t0=1.0, seed=1):
         nscatterings=i32(0), interactions=i32(0),
         rng_count=i32(0), pkt_id=jnp.arange(n, dtype=jnp.int32),
         nu_decay=f32(0.0), next_trans=i32(-1), ma_level=i32(0),
+        ma_activ_level=i32(0), ma_activ_line=i32(-99),
+        ma_activ_nu_cmf=f32(0.0), ma_activ_nu_rf=f32(0.0),
+        ma_jumps_cur=i32(0),
         stokes_q=f32(0.0), stokes_u=f32(0.0),
         emissiontype=i32(-9999000), absorptiontype=i32(-9999000),
         absorption_nu=f32(0.0),

@@ -58,7 +58,40 @@ def main():
         "table_build_s": round(getattr(sim, "_t_tables_ma", -1.0), 2),
         "dense_tables_gb": round(table_bytes / 1e9, 3),
         "events_per_s": round(events / max(wall, 1e-9), 1),
+        **_hbm_stats(),
+        **{f"t_{k}": v for k, v in
+           getattr(sim, "_t_phase", {}).items()},
     }))
+
+    # a second timestep separates steady-state cost from compilation
+    t0 = time.time()
+    sim.advance_one_timestep(checkpoint=False, verbose=True)
+    wall = time.time() - t0
+    d = sim.dep_log[-1]
+    events = (d["escounter"] + d["cellcrossings"] + d["interactions"]
+              + d["pellet_decays"])
+    print(json.dumps({
+        "ts": 1, "nlines": int(ad.nlines), "ncells": ncells,
+        "npkts": npkts, "events": int(events),
+        "timestep_wall_s": round(wall, 2),
+        "table_build_s": round(getattr(sim, "_t_tables_ma", -1.0), 2),
+        "events_per_s": round(events / max(wall, 1e-9), 1),
+        **_hbm_stats(),
+    }))
+
+
+def _hbm_stats():
+    import jax
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        return {"hbm_in_use_gb": round(ms.get("bytes_in_use", 0) / 1e9,
+                                       3),
+                "hbm_peak_gb": round(ms.get("peak_bytes_in_use", 0)
+                                     / 1e9, 3),
+                "hbm_limit_gb": round(ms.get("bytes_limit", 0) / 1e9,
+                                      3)}
+    except Exception:
+        return {}
 
 
 if __name__ == "__main__":
