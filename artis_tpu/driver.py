@@ -312,6 +312,42 @@ class Simulation:
         return (self.cfg.ma_log_cap
                 if (self.detailed and self.cfg.log_macroatom) else 0)
 
+
+    _BF_FINE_BINS = 1024  # matches the chi_bf log-nu grid (bf_dlognu)
+
+    def _bf_fine_bins(self) -> int:
+        return self._BF_FINE_BINS if self._n_bfcont() > 0 else 0
+
+    def _bf_sigma_tab(self) -> np.ndarray:
+        """[bf_fine_bins, n_bfcont] per-continuum cross sections at
+        the fine-bin centres (photoionization_crosssection_fromtable
+        interpolation); contracts the kernel's sigma-free J_bf_fine
+        estimator into the per-continuum bfrate array once per
+        timestep."""
+        tab = getattr(self, "_bf_sigma_cache", None)
+        if tab is not None:
+            return tab
+        p = self.params
+        ncont = self._n_bfcont()
+        nb = self._BF_FINE_BINS
+        lo = float(p.bf_lognu_min)
+        dln = float(p.bf_dlognu)
+        nu_b = np.exp(lo + (np.arange(nb) + 0.5) * dln)
+        edge = np.asarray(p.cont_nu_edge, np.float64)[:ncont]
+        cs = np.asarray(p.cont_sigma, np.float64)[:ncont]  # [nc, NP]
+        NPx = cs.shape[1]
+        nuinc = float(p.cont_nuinc)
+        x = nu_b[:, None] / edge[None, :]
+        fi = (x - 1.0) / nuinc
+        i0 = np.clip(fi.astype(np.int64), 0, NPx - 2)
+        frac = np.clip(fi - i0, 0.0, 1.0)
+        ci = np.arange(ncont)[None, :]
+        sig = cs[ci, i0] * (1.0 - frac) + cs[ci, i0 + 1] * frac
+        in_t = (x >= 1.0) & (fi <= NPx - 1)
+        tab = (sig * in_t).astype(np.float32)
+        self._bf_sigma_cache = tab
+        return tab
+
     def _jb_nsel(self) -> int:
         """Number of lines with detailed Jb_lu estimators
         (DETAILED_LINE_ESTIMATORS_ON; radfield.cc:276-315 selection).
@@ -1261,7 +1297,8 @@ class Simulation:
                               vgrid_shape=self._vgrid_shape(),
                               n_bfcont=self._n_bfcont(),
                               jb_nsel=self._jb_nsel(),
-                              ma_log_cap=self._ma_log_cap())
+                              ma_log_cap=self._ma_log_cap(),
+                              bf_fine_bins=self._bf_fine_bins())
         chunks = 0
         iters_done = 0
         # per-phase wall-time tracing (the analogue of the reference's
@@ -1307,7 +1344,8 @@ class Simulation:
                             vgrid_shape=self._vgrid_shape(),
                             n_bfcont=self._n_bfcont(),
                             jb_nsel=self._jb_nsel(),
-                            ma_log_cap=self._ma_log_cap())
+                            ma_log_cap=self._ma_log_cap(),
+                            bf_fine_bins=self._bf_fine_bins())
                         compact_stack, snap_stack = [], []
                     else:
                         pk = self._place_batch(from_numpy(snap[0]))
@@ -1385,6 +1423,11 @@ class Simulation:
 
         t_e0 = _time.time()
         est_np = self._fetch_estimators(est)
+        if "J_bf_fine" in est_np:
+            # contract the sigma-free fine-binned path integrand with
+            # the per-continuum sigma table (see _bf_sigma_tab)
+            est_np["bfrate"] = (
+                est_np.pop("J_bf_fine") @ self._bf_sigma_tab())
         self._t_phase["estfetch"] = _time.time() - t_e0
         return self._finish_timestep(nts, tmid, est_np, t_start,
                                       verbose)
