@@ -1773,7 +1773,15 @@ class Simulation:
         resuming a checkpoint with different inputs is an error."""
         import hashlib
         h = hashlib.md5()
-        h.update(repr(self.cfg).encode())
+        # hash only physics-affecting config fields: performance and
+        # diagnostic knobs may change between job steps (the reference
+        # hashes input FILES only, md5.cc)
+        skip = {"transport_chunk_iters", "chunk_target_s",
+                "compact_min_size", "max_transport_iters",
+                "log_macroatom", "ma_log_cap"}
+        items = sorted((k, v) for k, v in vars(self.cfg).items()
+                       if k not in skip)
+        h.update(repr(items).encode())
         m = self.model
         for a in (m.rho, m.ffegrp, m.initradioabund):
             h.update(np.ascontiguousarray(a).tobytes())
@@ -1865,9 +1873,16 @@ class Simulation:
         if "input_md5" in data.files:
             saved = bytes(data["input_md5"]).decode()
             if saved != self.input_hash():
-                raise ValueError(
-                    f"checkpoint {path} was written for different "
-                    f"inputs (md5 {saved} != {self.input_hash()})")
+                if os.environ.get("ARTIS_SKIP_MD5", "0") == "1":
+                    print(f"WARNING: resuming {path} despite input md5 "
+                          f"mismatch ({saved} != {self.input_hash()}) "
+                          f"— ARTIS_SKIP_MD5=1", flush=True)
+                else:
+                    raise ValueError(
+                        f"checkpoint {path} was written for different "
+                        f"inputs (md5 {saved} != {self.input_hash()}); "
+                        f"set ARTIS_SKIP_MD5=1 to override if the "
+                        f"mismatch is from a code upgrade")
         nts = int(data["nts"])
         pk = {k[len("pkt_"):]: data[k] for k in data.files
               if k.startswith("pkt_")}

@@ -52,14 +52,20 @@ def _planck(nu, T):
 
 def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
                   TR: np.ndarray, W: np.ndarray,
-                  nne: np.ndarray, radfield=None) -> PhotoionRates:
+                  nne: np.ndarray, radfield=None,
+                  with_radiative: bool = True) -> PhotoionRates:
     """Evaluate all rate integrals for every cell x continuum.
 
     ``radfield``: optional fitted BinnedRadField; when given, the
     photoionisation and bf-heating integrals run over the multibin
     field instead of the fullspec dilute blackbody — the reference's
     DETAILED_BF_ESTIMATORS / NO_LUT mode
-    (calculate_corrphotoioncoeff_integral, ratecoeff.cc:1184-1260)."""
+    (calculate_corrphotoioncoeff_integral, ratecoeff.cc:1184-1260).
+
+    ``with_radiative=False`` skips the radiation-field integrals
+    (gamma_corr / bfheating returned as zeros): they are
+    T_e-independent, so T_e iterations (thermal.solve_Te) hoist them
+    out of the loop and only re-evaluate the T_e-dependent pieces."""
     Te = np.maximum(np.asarray(Te, np.float64), 1.0)[:, None]
     TR = np.maximum(np.asarray(TR, np.float64), 1.0)[:, None]
     W = np.asarray(W, np.float64)[:, None]
@@ -119,19 +125,20 @@ def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
             bfcool[c0:c1] = 4.0 * np.pi * np.sum(
                 sig[None] * (nu[None] - edge) * 2.0 * H / CLIGHT**2
                 * nu[None] ** 2 * eTe * dnu[None], axis=2)
-            bnu = _planck(nu[None], TRB)
-            stim = -np.expm1(-np.minimum(H * nu[None] / (KB * TRB),
-                                         500.0))
-            gamma[c0:c1] = 4.0 * np.pi * np.sum(
-                WB * sig[None] / (H * nu[None]) * bnu * stim
-                * dnu[None], axis=2)
-            bfheat[c0:c1] = 4.0 * np.pi * np.sum(
-                WB * sig[None] * (1.0 - edge / nu[None]) * bnu * stim
-                * dnu[None], axis=2)
+            if with_radiative and radfield is None:
+                bnu = _planck(nu[None], TRB)
+                stim = -np.expm1(-np.minimum(H * nu[None] / (KB * TRB),
+                                             500.0))
+                gamma[c0:c1] = 4.0 * np.pi * np.sum(
+                    WB * sig[None] / (H * nu[None]) * bnu * stim
+                    * dnu[None], axis=2)
+                bfheat[c0:c1] = 4.0 * np.pi * np.sum(
+                    WB * sig[None] * (1.0 - edge / nu[None]) * bnu
+                    * stim * dnu[None], axis=2)
     alpha_sp *= sfac
     bfcool *= sfac
 
-    if radfield is not None:
+    if with_radiative and radfield is not None:
         # integrate over the fitted multibin field: J_nu and the bin's
         # colour temperature give the stimulated-emission correction
         nu_flat = nu.ravel()

@@ -107,11 +107,22 @@ def solve_Te(ad: AtomicData, ph: PhixsData, elem_numberdens: np.ndarray,
     dep_h = (dep_heating if dep_heating is not None
              else np.zeros(ncells))
 
+    # the radiation-field integrals (gamma_corr, bfheating) depend on
+    # (T_R, W, radfield) only — hoist them out of the T_e bisection
+    # (the reference's T_e finder likewise reuses the radfield-driven
+    # corrphotoioncoeff across iterations, thermalbalance.cc:141-220).
+    # With the raw multibin field these were ~26 repeated [cells x
+    # cont x points] integrations per timestep.
+    rad = photoion.compute_rates(ad, ph, TR, TR, W,
+                                 np.zeros(ncells), radfield=radfield)
+
     def imbalance(Te):
         pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
         nl = lte.level_populations(ad, pops, Te)
         rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne,
-                                       radfield=radfield)
+                                       with_radiative=False)
+        rates.gamma_corr = rad.gamma_corr
+        rates.bfheating = rad.bfheating
         # heating: ff (estimator) + bf (analytic, T_R based) + coll est
         # + non-thermal deposition heating (thermalbalance.cc:370-390)
         bfheat = (nl[:, ph.cont_level] * rates.bfheating).sum(axis=1)
