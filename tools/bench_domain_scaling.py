@@ -91,29 +91,7 @@ def main():
 
     import subprocess
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    results = []
-    for ndev in args.ndev:
-        env = dict(os.environ)
-        env["BENCH_DD_CHILD"] = str(ndev)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                            f" --xla_force_host_platform_device_count="
-                            f"{ndev}")
-        res = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__),
-             "--npkts", str(args.npkts), "--nsteps",
-             str(args.nsteps)],
-            capture_output=True, text=True, env=env, timeout=3600)
-        line = [ln for ln in res.stdout.splitlines()
-                if ln.startswith("{")]
-        if not line:
-            sys.stderr.write(f"ndev={ndev} failed:\n"
-                             + (res.stderr or "")[-500:] + "\n")
-            continue
-        r = json.loads(line[-1])
-        results.append(r)
-        print(json.dumps(r), flush=True)
-
+    out_path = args.out or os.path.join(here, "DD_SCALING.json")
     out = {
         "config": "classicmode detailed (refbuild classic_sph)",
         "note": ("virtual CPU devices share one host: events/s is an "
@@ -121,11 +99,47 @@ def main():
                  "scaling measurement (no multi-chip hardware, "
                  "BASELINE.md); migration rounds per timestep are the "
                  "hardware-independent communication-cost metric"),
-        "results": results,
+        "results": [],
     }
-    out_path = args.out or os.path.join(here, "DD_SCALING.json")
-    with open(out_path, "w") as f:
-        json.dump(out, f, indent=1)
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            out["results"] = [r for r in prev.get("results", [])
+                              if r.get("ndev") not in args.ndev]
+        except (json.JSONDecodeError, OSError):
+            pass
+    for ndev in args.ndev:
+        env = dict(os.environ)
+        env["BENCH_DD_CHILD"] = str(ndev)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{ndev}")
+        try:
+            res = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__),
+                 "--npkts", str(args.npkts), "--nsteps",
+                 str(args.nsteps)],
+                capture_output=True, text=True, env=env,
+                timeout=int(os.environ.get("BENCH_DD_TIMEOUT", 5400)))
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"ndev={ndev}: timed out\n")
+            continue
+        line = [ln for ln in res.stdout.splitlines()
+                if ln.startswith("{")]
+        if not line:
+            sys.stderr.write(f"ndev={ndev} failed:\n"
+                             + (res.stderr or "")[-500:] + "\n")
+            continue
+        r = json.loads(line[-1])
+        out["results"].append(r)
+        print(json.dumps(r), flush=True)
+        # write incrementally: a later size timing out must not lose
+        # the completed measurements
+        out["results"].sort(key=lambda r: r["ndev"])
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
