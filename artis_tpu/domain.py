@@ -424,21 +424,47 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
 
 def run_domain_timestep(step, pk, est, tables, params, t2,
                         nts_is_first, base_key, chunk_iters,
-                        max_rounds: int = 4096, verbose: bool = False):
+                        max_rounds: int = 4096, verbose: bool = False,
+                        max_chunk_iters: int = 8192):
     """Drive migration rounds until every packet finished AND went
-    home. Returns (pk, est, rounds)."""
+    home. Returns (pk, est, rounds).
+
+    The per-round iteration budget escalates geometrically: one round
+    costs a full migration barrier (the communication metric in
+    DD_SCALING.json), so once the pending set stops shrinking fast —
+    the long tail of the timestep, where a few packets need thousands
+    of kernel iterations with only occasional domain crossings — we
+    double ``chunk_iters`` (a traced int32: no recompilation) instead
+    of paying one all-to-all per 256 iterations. Early rounds stay
+    short so freshly-migrated packets aren't frozen for a huge chunk
+    while their owner works. This keeps the round count near the
+    max-boundary-crossings lower bound instead of total_iters/chunk.
+    """
     rounds = 0
+    it = int(chunk_iters)
+    npkts0 = None
+    prev_pending = None
     while True:
         pk, est, n_pending, n_away = step(
             pk, est, tables, params, jnp.float32(t2),
-            nts_is_first, base_key, jnp.int32(chunk_iters))
+            nts_is_first, base_key, jnp.int32(it))
         rounds += 1
         np_, na_ = int(n_pending), int(n_away)
+        if npkts0 is None:
+            npkts0 = max(np_, 1)
         if verbose and rounds % 16 == 0:
             print(f"  [domain] round {rounds}: pending={np_} "
-                  f"away={na_}")
+                  f"away={na_} chunk={it}")
         if np_ == 0 and na_ == 0:
             return pk, est, rounds
+        # escalate: tail regime (pending well below the initial
+        # population — from here the per-round decay is slow and each
+        # barrier processes few packets) or stalled progress (tail
+        # packets need more iterations than one chunk grants)
+        if np_ < 0.25 * npkts0 or (prev_pending is not None
+                                   and np_ > 0.9 * prev_pending):
+            it = min(it * 2, max_chunk_iters)
+        prev_pending = np_
         if rounds >= max_rounds:
             raise RuntimeError(
                 f"domain transport did not converge in {rounds} "

@@ -776,16 +776,34 @@ class Simulation:
                 # update_grid.cc:832-850)
                 nd = lte_mod.elem_numberdens_from_massfracs(
                     self.atomic_data, g.rho, g.elem_abund)
-                nl_nlte = nltepop_mod.solve_nlte_pops(
-                    self.atomic_data, ph, pirates,
-                    levelpops.astype(np.float64), nd, g.Te, g.TR,
-                    g.W, g.nne, t_mid_s, radfield=rf_binned,
+                nlte_kw = dict(
+                    radfield=rf_binned,
                     nt_ion_rate_ion=nt_ion_rate_ion,
                     nt_auger_prob=(sol.prob_num_auger
                                    if sol is not None else None),
                     jb_lu=((self._jb_sel, self._jb_lu_val)
                            if getattr(self, "_jb_lu_val", None)
                            is not None else None))
+                starts = self._plasma_starts()
+                if starts is not None:
+                    # DD mode: each rank solves its owned cell range
+                    # and the slices concatenate back — the
+                    # reference's rank-distributed update_grid pass
+                    # (sn3d.cc:951-964); bitwise equal to full-batch
+                    # (tests/test_plasma_sharded.py)
+                    from .plasma import sharded as sharded_mod
+                    walls: list = []
+                    nl_nlte = sharded_mod.solve_nlte_pops_sharded(
+                        starts, self.atomic_data, ph, pirates,
+                        levelpops.astype(np.float64), nd, g.Te,
+                        g.TR, g.W, g.nne, t_mid_s, timings=walls,
+                        **nlte_kw)
+                    self._plasma_shard_walls = walls
+                else:
+                    nl_nlte = nltepop_mod.solve_nlte_pops(
+                        self.atomic_data, ph, pirates,
+                        levelpops.astype(np.float64), nd, g.Te,
+                        g.TR, g.W, g.nne, t_mid_s, **nlte_kw)
                 # previously-thick cells keep the pure-LTE set
                 # (update_grid.cc:1106-1125 branch)
                 tp = getattr(self, "_thick_prev", None)
@@ -1470,6 +1488,23 @@ class Simulation:
                 off += n
         return out
 
+    def _plasma_starts(self):
+        """Owned model-cell ranges for the rank-distributed plasma
+        solve (plasma/sharded.py). In DD mode the plasma solve reuses
+        the transport decomposition's contiguous equal-nonempty cell
+        split (setup_nstart_ndo, grid.cc:1931-1998) so the transport
+        tables and plasma state share one ownership map; None when not
+        domain-decomposed (full-batch host solve)."""
+        if not self._domain_decomp:
+            return None
+        if hasattr(self, "_dd_plan"):
+            return self._dd_plan.starts
+        from . import domain as dom
+        plan = dom.plan_decomposition(
+            np.arange(self.grid.nmodel), self.grid.nmodel,
+            self.grid.rho_init, self._dd_ndev, self.cfg.npkts)
+        return plan.starts
+
     def _transport_domain(self, nts, tables, t2_sim):
         """Grid-domain-decomposed transport for one timestep
         (domain.py): every per-cell table — including the detailed
@@ -1650,11 +1685,28 @@ class Simulation:
         rf_te = (rf_raw if (rf_raw is not None
                             and self.cfg.detailed_bf_estimators)
                  else getattr(self, "_radfield_binned", None))
-        Te = thermal_mod.solve_Te(
-            self.atomic_data, self.phixs, nd, g.TR, g.W, ffheat,
-            colheat, tmid, g.vol_init, g.tmin, self.cfg.mintemp,
-            self.cfg.maxtemp, dep_heating=dep_heating,
-            radfield=rf_te)
+        starts = self._plasma_starts()
+        if starts is not None:
+            # DD mode: rank-distributed T_e solve over owned cell
+            # ranges (sn3d.cc:951-964), bitwise equal to full-batch
+            from .plasma import sharded as sharded_mod
+            per_cell = dict(elem_numberdens=nd, TR=g.TR, W=g.W,
+                            ffheat_est=ffheat, colheat_est=colheat,
+                            vol_tmin=g.vol_init,
+                            dep_heating=dep_heating, radfield=rf_te)
+            repl = dict(ad=self.atomic_data, ph=self.phixs,
+                        t_mid=tmid, tmin=g.tmin,
+                        mintemp=self.cfg.mintemp,
+                        maxtemp=self.cfg.maxtemp)
+            Te = sharded_mod.solve_te_sharded(
+                starts, thermal_mod.solve_Te, g.nmodel, per_cell,
+                repl)
+        else:
+            Te = thermal_mod.solve_Te(
+                self.atomic_data, self.phixs, nd, g.TR, g.W, ffheat,
+                colheat, tmid, g.vol_init, g.tmin, self.cfg.mintemp,
+                self.cfg.maxtemp, dep_heating=dep_heating,
+                radfield=rf_te)
         g.Te = np.where(g.rho_init > 0, Te, 0.0)
         # diagnostic heating/cooling rows at the solved T_e
         # (update_grid.cc:642-649)

@@ -96,6 +96,44 @@ def test_domain_matches_single_device():
                                float(e1["gamma_dep"]), rtol=1e-5)
 
 
+def test_domain_round_escalation():
+    """The round loop's chunk-iteration escalation (domain.py,
+    run_domain_timestep): once the pending tail stops shrinking, the
+    per-round iteration budget doubles so one migration barrier is
+    not paid per tiny fixed chunk. Regression contract: escalation
+    must STRICTLY reduce the round count on a tail-dominated
+    timestep and must not change any trajectory (chunk boundaries are
+    physics-invariant under the counter-based per-packet RNG)."""
+    sim = _grey_sim()
+    npkts = sim.cfg.npkts
+    t2 = float(sim.units.time_to_sim(sim.ts.end(0)))
+    mesh = dom.make_domain_mesh(NDEV)
+    tab_np = {k: np.asarray(v) for k, v in sim._tables().items()}
+    plan = dom.plan_decomposition(
+        tab_np["cell_mgi"], sim.grid.nmodel, sim.grid.rho_init,
+        NDEV, npkts)
+    dtab, specs = dom.shard_domain_tables(tab_np, plan, mesh)
+    step = dom.make_domain_step(
+        mesh, plan, specs, grid_type="spherical",
+        ncoord=sim.grid.ncoordgrid[0])
+
+    def run(base, cap):
+        pkd = dom.scatter_packets(sim.packets, plan, mesh)
+        estd = dom.make_domain_est(plan, mesh)
+        pkd, estd, rounds = dom.run_domain_timestep(
+            step, pkd, estd, dtab, sim.params, t2, True,
+            sim.base_key, base, max_chunk_iters=cap)
+        return dom.gather_packets(pkd, plan, npkts), rounds
+
+    g_fix, r_fix = run(16, 16)      # escalation disabled
+    g_esc, r_esc = run(16, 2048)    # geometric escalation
+    assert r_esc < r_fix, (r_esc, r_fix)
+    a1, a2 = to_numpy(g_fix), to_numpy(g_esc)
+    np.testing.assert_array_equal(a2["ptype"], a1["ptype"])
+    np.testing.assert_array_equal(a2["cell"], a1["cell"])
+    np.testing.assert_allclose(a2["e_cmf"], a1["e_cmf"], rtol=1e-6)
+
+
 def test_domain_capacity_backpressure():
     """With a tiny visitor region the migration must defer (never
     drop): the run still converges to the identical final state.
