@@ -2338,12 +2338,61 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         nu_e, e_e = new["nu_cmf"], new["e_cmf"]
         cell_e = new["cell"]
 
+        # exact per-ray Sobolev line depth (check_tau, vpkt.cc:374-441
+        # parity): along a straight observer ray in non-relativistic
+        # homologous flow nu_cmf decreases monotonically and
+        # t(s) * nu_cmf(s) is invariant, so every line k with
+        # nu_k in (nu_end, nu_start] of a cell segment is crossed
+        # exactly once with tau_k = tau_base[cell, k] * t_nu / nu_k.
+        # The summed segment depth is then t_nu * (D[j2] - D[j1]) of
+        # the SAME per-cell cumulative table the transport walk uses
+        # (lw_D_blk) — two row-gathers per march step, no binning.
+        # The binned expansion opacity (chi_line_exp) remains the
+        # fallback (relativistic mode), where the invariant is only
+        # first-order.
+        use_exact_vline = (detailed and not relativistic
+                           and "lw_D_blk" in tables)
+        if use_exact_vline:
+            LWD_v = tables["lw_D_blk"]
+            nbw_v = LWD_v.shape[1]
+            LWD2_v = LWD_v.reshape(-1, ROWW)
+            LWNU_v = tables["lw_nu_blk"]  # [nb, 128] descending
+            ends_v = LWNU_v[:, ROWW - 1]
+            nlines_v = params.line_nu.shape[0]
+
+            def vline_count_gt(nu):
+                """j = number of lines with nu_line > nu (index into
+                the descending-sorted list / exclusive prefix D)."""
+                b = jnp.clip(
+                    jnp.sum((ends_v[None, :] > nu[:, None])
+                            .astype(jnp.int32), axis=1),
+                    0, LWNU_v.shape[0] - 1)
+                row = LWNU_v[b]  # [N, 128] row-gather
+                return jnp.minimum(
+                    b * ROWW + jnp.sum(
+                        (row > nu[:, None]).astype(jnp.int32),
+                        axis=1), nlines_v)
+
+            def vline_D_at(mgi_l, j):
+                jc_ = jnp.clip(j, 0, nlines_v)
+                return onehot_extract(
+                    LWD2_v[mgi_l * nbw_v + jc_ // ROWW],
+                    jc_ % ROWW)
+
         def vpkt_tau(obs_b, nu_obs):
             n_march = 2 * ncoord + 8
             ncell_tot = tables["cell_mgi"].shape[0]
+            if use_exact_vline:
+                dpp0 = geo.doppler_packet(pos_e, obs_b, t_e,
+                                          relativistic)
+                nu0 = nu_obs * dpp0
+                t_nu_v = t_e * nu0
+                j_start = vline_count_gt(nu0)
+            else:
+                j_start = jnp.zeros_like(cell_e)
 
             def march(_, st):
-                posm, tm, cellm, lcm, taum, alive = st
+                posm, tm, cellm, lcm, taum, alive, jprev = st
                 if grid_type == "spherical":
                     sd, snx, lc_n = geo.boundary_cross_spherical(
                         posm, obs_b, tm, cellm, lcm, ncell_tot,
@@ -2384,13 +2433,33 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                     chibf_l = jnp.where(
                         in_b, bin_fetch(tables["chi_bf"], mgi_l, blc),
                         0.0)
-                    chiline_l = jnp.where(
-                        in_b, bin_fetch(tables["chi_line_exp"],
-                                        mgi_l, blc), 0.0)
+                    if use_exact_vline:
+                        chiline_l = 0.0  # exact term added below
+                    else:
+                        chiline_l = jnp.where(
+                            in_b, bin_fetch(tables["chi_line_exp"],
+                                            mgi_l, blc), 0.0)
                     chi_det = (march_scalar("chi_thomson", CP_CHI_TH)
                                + kff_l + chibf_l + chiline_l)
                     chi_l = chi_det
                 chi_l = jnp.where(mgi_l >= nmodel, 0.0, chi_l) * dpp
+                tau_seg = chi_l * sd
+                if use_exact_vline:
+                    # exact Sobolev sum of the lines redshifted past
+                    # within this cell segment: nu_cmf at the segment
+                    # end bounds the crossed index range [jprev, jn)
+                    dpp_e2 = geo.doppler_packet(
+                        posm + obs_b * sd[:, None], obs_b, tm + sd,
+                        relativistic)
+                    nu_end = nu_obs * dpp_e2
+                    jn = jnp.maximum(vline_count_gt(nu_end), jprev)
+                    tau_lines = jnp.maximum(
+                        t_nu_v * (vline_D_at(mgi_l, jn)
+                                  - vline_D_at(mgi_l, jprev)), 0.0)
+                    tau_seg = tau_seg + jnp.where(
+                        mgi_l >= nmodel, 0.0, tau_lines)
+                else:
+                    jn = jprev
                 # thick-cell kill (detailed mode only — grey-mode
                 # cells are all flagged thick by construction): the
                 # reference never creates vpkts in thick cells
@@ -2403,17 +2472,17 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                             else jnp.zeros_like(thick_l))
                 tau_n2 = taum + jnp.where(
                     alive, jnp.where(in_thick, jnp.float32(1e30),
-                                     chi_l * sd), 0.0)
+                                     tau_seg), 0.0)
                 escd = snx == -99
                 alive_n = (alive & ~escd & ~in_thick
                            & (tau_n2 < params.vpkt_tau_max))
                 return (posm + obs_b * sd[:, None], tm + sd,
                         jnp.where(escd, cellm, snx), lc_n, tau_n2,
-                        alive_n)
+                        alive_n, jn)
 
             st0 = (pos_e, t_e, cell_e,
                    jnp.full_like(cell_e, geo.BOUNDARY_NONE),
-                   jnp.zeros_like(t_e), vp_any)
+                   jnp.zeros_like(t_e), vp_any, j_start)
             return jax.lax.fori_loop(0, n_march, march, st0)[4]
 
         nobs = params.vpkt_obs.shape[0]
