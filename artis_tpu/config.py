@@ -189,6 +189,11 @@ class SimConfig:
     # smallest batch the ragged-tail compaction will shrink to (keep
     # >= the VPU lane tile on TPU; tests use smaller values)
     compact_min_size: int = 512
+    # host threads for the per-cell plasma solves (NLTE / Spencer-Fano
+    # / thermal balance): the single-host analogue of the reference's
+    # one-MPI-rank-per-cell-range update_grid split (sn3d.cc:951-964).
+    # 0 = auto (CPU count, capped); 1 = serial full-batch
+    plasma_workers: int = 0
 
     # --- output binning (exspec analogue)
     nnubins_gamma: int = 200

@@ -751,13 +751,29 @@ class Simulation:
                         self._sf_solver._ts_last_solved = \
                             rst["ts_last_solved"]
                         del self._sf_restore
-                sol = self._sf_solver.solve(
-                    g.nne, levelpops.astype(np.float64),
-                    pops.ion_numberdens, timestep=self.nts_done,
-                    max_ts_between_solutions=(
-                        self.cfg.sf_max_ts_between_solutions),
-                    max_fracdiff_nneperion=(
-                        self.cfg.sf_max_fracdiff_nneperion))
+                sf_starts, sf_workers = self._plasma_exec()
+                if sf_starts is not None:
+                    # rank-distributed SF solve with the full-batch
+                    # reuse gate applied first (sn3d.cc:951-964 +
+                    # nonthermal.cc:2559-2581)
+                    from .plasma import sharded as sharded_mod
+                    sol = sharded_mod.solve_sf_sharded(
+                        self._sf_solver, sf_starts, g.nne,
+                        levelpops.astype(np.float64),
+                        pops.ion_numberdens, workers=sf_workers,
+                        timestep=self.nts_done,
+                        max_ts_between_solutions=(
+                            self.cfg.sf_max_ts_between_solutions),
+                        max_fracdiff_nneperion=(
+                            self.cfg.sf_max_fracdiff_nneperion))
+                else:
+                    sol = self._sf_solver.solve(
+                        g.nne, levelpops.astype(np.float64),
+                        pops.ion_numberdens, timestep=self.nts_done,
+                        max_ts_between_solutions=(
+                            self.cfg.sf_max_ts_between_solutions),
+                        max_fracdiff_nneperion=(
+                            self.cfg.sf_max_fracdiff_nneperion))
                 self.sf_solution = sol
                 if (self.est_prev is not None
                         and "dep_cell" in self.est_prev
@@ -768,6 +784,7 @@ class Simulation:
                     dep_rd = self._dep_rate_density(t_mid_s)
                     nt_ion_rate_ion = (sol.ion_rate_per_dep
                                        * dep_rd[:, None])
+            t_nlte0 = _time.time()
             if (self.cfg.nlte_pops_on
                     and self.nts_done >= self.cfg.num_lte_timesteps):
                 # statistical-equilibrium populations replace the
@@ -784,9 +801,9 @@ class Simulation:
                     jb_lu=((self._jb_sel, self._jb_lu_val)
                            if getattr(self, "_jb_lu_val", None)
                            is not None else None))
-                starts = self._plasma_starts()
+                starts, pl_workers = self._plasma_exec()
                 if starts is not None:
-                    # DD mode: each rank solves its owned cell range
+                    # each rank/thread solves its owned cell range
                     # and the slices concatenate back — the
                     # reference's rank-distributed update_grid pass
                     # (sn3d.cc:951-964); bitwise equal to full-batch
@@ -797,7 +814,7 @@ class Simulation:
                         starts, self.atomic_data, ph, pirates,
                         levelpops.astype(np.float64), nd, g.Te,
                         g.TR, g.W, g.nne, t_mid_s, timings=walls,
-                        **nlte_kw)
+                        workers=pl_workers, **nlte_kw)
                     self._plasma_shard_walls = walls
                 else:
                     nl_nlte = nltepop_mod.solve_nlte_pops(
@@ -827,6 +844,7 @@ class Simulation:
                                           if prev is not None
                                           else solved)
                 levelpops = nl_nlte.astype(np.float32)
+            self._t_tables_sub["nlte"] = _time.time() - t_nlte0
             # ion-stage number densities for the estimators-file
             # populations rows (update_grid.cc:65-91)
             self._ionpops_est = nltepop_mod.ion_populations(
@@ -895,6 +913,10 @@ class Simulation:
                 tables["ma_sel_end"] = mend
             tables["kp_w_collexc"] = mats["w_kcollexc"]
 
+            jax.block_until_ready(mblk)
+            self._t_tables_sub["ma_pack"] = _time.time() - t_tab0 \
+                - self._t_tables_ma
+            t_sub1 = _time.time()
             # k-packet fb / collisional-ionisation cooling rows
             # (calculate_cooling_rates, kpkt.cc:120-155)
             ad = self.atomic_data
@@ -926,9 +948,16 @@ class Simulation:
             tables["kp_sel_blk"] = kblk
             if kendp is not None:
                 tables["kp_sel_end"] = kendp
+            jax.block_until_ready(kblk)
+            self._t_tables_sub["kp"] = _time.time() - t_sub1
+            t_sub1 = _time.time()
 
-            if self.cfg.vpkt_on:
+            if self.cfg.vpkt_on and self.cfg.use_relativistic_doppler:
                 # binned line expansion opacity for the vpkt ray-march
+                # — only the relativistic fallback path reads it; in
+                # the common non-relativistic configuration the kernel
+                # uses the exact per-ray Sobolev march over lw_D_blk
+                # and this [nmodel+1, 1024] table would be dead weight
                 # (uses the bf table's log-nu binning)
                 nbins_bf = 1024
                 dln = (np.log(self.cfg.nu_max_r)
@@ -946,6 +975,9 @@ class Simulation:
                 self.cfg.nu_min_r, self.cfg.nu_max_r)
             tables["chi_bf"] = jnp.asarray(pad(bft["chi_bf"]))
             tables["bf_sel_cum"] = jnp.asarray(pad(bft["bf_sel_cum"]))
+            jax.block_until_ready(tables["bf_sel_cum"])
+            self._t_tables_sub["bf"] = _time.time() - t_sub1
+            t_sub1 = _time.time()
 
             # analytic-line-walk block tables (kernel.py
             # use_cum_walk): the per-cell cumulative Sobolev depth
@@ -972,6 +1004,9 @@ class Simulation:
                         nu_np, (0, nb_w * 128 - nl_lines)
                     ).reshape(nb_w, 128))
                 tables["lw_nu_blk"] = self._lw_nu_blk
+                jax.block_until_ready(tables["lw_D_blk"])
+            self._t_tables_sub["lw"] = _time.time() - t_sub1
+            t_sub1 = _time.time()
             # per-(cell, cont) cumulative recombination emissivity for
             # O(log NP) continuum-nu sampling; gated so the table
             # cannot dominate HBM at extreme cell counts
@@ -1032,7 +1067,11 @@ class Simulation:
                     tables["nt_exc_upper"] = jnp.asarray(
                         ad.line_upper[self._sf_solver.exc_lines]
                         .astype(np.int32))
+            self._t_tables_sub["nt"] = _time.time() - t_sub1
+            t_sub1 = _time.time()
             tables["cell_pack"] = self._cell_pack(tables)
+            jax.block_until_ready(tables["cell_pack"])
+            self._t_tables_sub["cellpack"] = _time.time() - t_sub1
             self._t_tables_sub["pack"] = (
                 _time.time() - t_sub0
                 - self._t_tables_sub["pirates"]
@@ -1505,6 +1544,28 @@ class Simulation:
             self.grid.rho_init, self._dd_ndev, self.cfg.npkts)
         return plan.starts
 
+    def _plasma_exec(self):
+        """(starts, workers) for the rank-distributed plasma solves.
+
+        DD mode reuses the transport decomposition's cell ranges; a
+        plain single-host run still splits the cells into
+        ``plasma_workers`` ranges so the NLTE / Spencer-Fano / Te
+        solves overlap on host cores (plasma.sharded.run_ranges) —
+        the concurrency the reference gets from MPI ranks
+        (sn3d.cc:951-964). Returns (None, 1) when a split is not
+        worth it (few cells)."""
+        w = self.cfg.plasma_workers
+        if w == 0:
+            w = min(os.cpu_count() or 1, 8)
+        starts = self._plasma_starts()
+        if starts is not None:
+            return starts, w
+        n = self.grid.nmodel
+        if w <= 1 or n < 4 * w:
+            return None, 1
+        bounds = np.linspace(0, n, w + 1).astype(int)
+        return tuple(int(b) for b in bounds), w
+
     def _transport_domain(self, nts, tables, t2_sim):
         """Grid-domain-decomposed transport for one timestep
         (domain.py): every per-cell table — including the detailed
@@ -1685,10 +1746,10 @@ class Simulation:
         rf_te = (rf_raw if (rf_raw is not None
                             and self.cfg.detailed_bf_estimators)
                  else getattr(self, "_radfield_binned", None))
-        starts = self._plasma_starts()
+        starts, te_workers = self._plasma_exec()
         if starts is not None:
-            # DD mode: rank-distributed T_e solve over owned cell
-            # ranges (sn3d.cc:951-964), bitwise equal to full-batch
+            # rank-distributed T_e solve over owned cell ranges
+            # (sn3d.cc:951-964), bitwise equal to full-batch
             from .plasma import sharded as sharded_mod
             per_cell = dict(elem_numberdens=nd, TR=g.TR, W=g.W,
                             ffheat_est=ffheat, colheat_est=colheat,
@@ -1700,7 +1761,7 @@ class Simulation:
                         maxtemp=self.cfg.maxtemp)
             Te = sharded_mod.solve_te_sharded(
                 starts, thermal_mod.solve_Te, g.nmodel, per_cell,
-                repl)
+                repl, workers=te_workers)
         else:
             Te = thermal_mod.solve_Te(
                 self.atomic_data, self.phixs, nd, g.TR, g.W, ffheat,

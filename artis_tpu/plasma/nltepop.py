@@ -247,9 +247,19 @@ def solve_nlte_pops(ad: AtomicData, ph, pirates, levelpops: np.ndarray,
             try:
                 sol = np.linalg.solve(M[ok], b[ok][..., None])[..., 0]
             except np.linalg.LinAlgError:
-                sol = np.stack([
-                    np.linalg.lstsq(Mi, bi, rcond=None)[0]
-                    for Mi, bi in zip(M[ok], b[ok])])
+                # a singular matrix must only downgrade ITS OWN cell
+                # to the least-squares fallback (nltepop_matrix_solve
+                # handles singularity per cell, nltepop.cc:679-778) —
+                # np.linalg.solve raises for the whole stack, and a
+                # batch-wide lstsq would change well-posed cells'
+                # answers with the batch split (rcond truncation)
+                def row_solve(Mi, bi):
+                    try:
+                        return np.linalg.solve(Mi, bi)
+                    except np.linalg.LinAlgError:
+                        return np.linalg.lstsq(Mi, bi, rcond=None)[0]
+                sol = np.stack([row_solve(Mi, bi)
+                                for Mi, bi in zip(M[ok], b[ok])])
             x[ok] = sol
         # negative populations indicate an unconverged radiative-rate
         # linearisation; floor them (nltepop.cc:973-1008 warns and

@@ -531,20 +531,11 @@ class SpencerFanoSolver:
         nonthermal.cc:2559-2581; SF_MAX_TIMESTEPS_BETWEEN_SOLUTIONS /
         NT_MAX_FRACDIFF_NNEPERION_BETWEEN_SOLUTIONS)."""
         ncells = len(nne)
-        nneperion = np.asarray(nne, np.float64) / np.maximum(
-            np.asarray(ion_numberdens, np.float64).sum(axis=1), 1e-300)
-        reuse = np.zeros(ncells, bool)
-        if (timestep is not None and self._last is not None
-                and self._last_nneperion is not None
-                and len(self._last_nneperion) == ncells
-                and not store_y):
-            fracdiff = np.abs(
-                self._last_nneperion / np.maximum(nneperion, 1e-300)
-                - 1.0)
-            reuse = ((fracdiff < max_fracdiff_nneperion)
-                     & (timestep - self._ts_last_solved
-                        <= max_ts_between_solutions)
-                     & (self._ts_last_solved >= 0))
+        nneperion = self.nneperion(nne, ion_numberdens)
+        reuse = (np.zeros(ncells, bool) if store_y
+                 else self.reuse_mask(nneperion, timestep,
+                                      max_ts_between_solutions,
+                                      max_fracdiff_nneperion))
         ad = self.ad
         en, de = self.en, self.de
         namax = NT_MAX_AUGER_ELECTRONS
@@ -653,13 +644,45 @@ class SpencerFanoSolver:
                          exc_frac=exc_frac, y=ys,
                          prob_num_auger=prob_auger,
                          ionenfrac_num_auger=enfrac_auger)
-        if timestep is not None:
-            if (self._ts_last_solved is None
-                    or len(self._ts_last_solved) != ncells):
-                self._ts_last_solved = np.full(ncells, -1)
-                self._last_nneperion = np.zeros(ncells)
-            solved = ~reuse
-            self._ts_last_solved[solved] = timestep
-            self._last_nneperion[solved] = nneperion[solved]
-            self._last = sol
+        self.commit(sol, nneperion, ~reuse, timestep)
         return sol
+
+    def nneperion(self, nne, ion_numberdens) -> np.ndarray:
+        return np.asarray(nne, np.float64) / np.maximum(
+            np.asarray(ion_numberdens, np.float64).sum(axis=1), 1e-300)
+
+    def reuse_mask(self, nneperion: np.ndarray,
+                   timestep: Optional[int],
+                   max_ts_between_solutions: int,
+                   max_fracdiff_nneperion: float) -> np.ndarray:
+        """Solution-reuse gate (solve_spencerfano reuse policy,
+        nonthermal.cc:2559-2581): a cell keeps its previous solution
+        when nne-per-ion moved less than the tolerance and the last
+        solve is recent enough.  Exposed so the rank-distributed
+        wrapper (plasma.sharded.solve_sf_sharded) can gate before
+        splitting the fresh solves over ranks."""
+        ncells = len(nneperion)
+        if (timestep is None or self._last is None
+                or self._last_nneperion is None
+                or len(self._last_nneperion) != ncells):
+            return np.zeros(ncells, bool)
+        fracdiff = np.abs(
+            self._last_nneperion / np.maximum(nneperion, 1e-300) - 1.0)
+        return ((fracdiff < max_fracdiff_nneperion)
+                & (timestep - self._ts_last_solved
+                   <= max_ts_between_solutions)
+                & (self._ts_last_solved >= 0))
+
+    def commit(self, sol: "SFSolution", nneperion: np.ndarray,
+               solved: np.ndarray, timestep: Optional[int]) -> None:
+        """Record a full-batch solution for the reuse policy."""
+        if timestep is None:
+            return
+        ncells = len(nneperion)
+        if (self._ts_last_solved is None
+                or len(self._ts_last_solved) != ncells):
+            self._ts_last_solved = np.full(ncells, -1)
+            self._last_nneperion = np.zeros(ncells)
+        self._ts_last_solved[solved] = timestep
+        self._last_nneperion[solved] = nneperion[solved]
+        self._last = sol

@@ -1237,11 +1237,15 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
         dir_ma, dopp_ma = _emit_isotropic(pk.pos, pk.prop_time,
                                           u[:, 4], u[:, 5],
                                           relativistic)
+        # emitt_rpkt (rpkt.cc:975-1008) resets the Stokes vector to
+        # (1, 0, 0) on every re-emission — stale Q/U from a previous
+        # electron-scatter chain must not survive a line absorption
         upd(ma_rad, ptype=TYPE_RPKT, nu_cmf=nu_ma,
             nu_rf=nu_ma / dopp_ma, e_rf=pk.e_cmf / dopp_ma,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
             em_time=pk.prop_time, em_pos=pk.pos,
             next_trans=k_line + 1,
+            stokes_q=jnp.float32(0.0), stokes_u=jnp.float32(0.0),
             nscatterings=jnp.int32(0), emissiontype=k_line)
         if "line_em" in est:
             est_line_em = est_line_em.at[
@@ -1254,6 +1258,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             dirvec=dir_ma, last_cross=geo.BOUNDARY_NONE,
             em_time=pk.prop_time, em_pos=pk.pos,
             next_trans=jnp.int32(-1),
+            stokes_q=jnp.float32(0.0), stokes_u=jnp.float32(0.0),
             nscatterings=jnp.int32(0),
             emissiontype=-1 - k_cont)
         # collisional deexcitation/recombination -> k-packet
@@ -1428,6 +1433,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             last_cross=geo.BOUNDARY_NONE, em_time=t_k,
         em_pos=pk.pos,
             nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
+            stokes_q=jnp.float32(0.0), stokes_u=jnp.float32(0.0),
             emissiontype=jnp.int32(EMTYPE_FREEFREE))
 
         # channel-target selection: the three cumulative tables
@@ -1498,6 +1504,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             last_cross=geo.BOUNDARY_NONE, em_time=t_k,
         em_pos=pk.pos,
             nscatterings=jnp.int32(0), next_trans=jnp.int32(-1),
+            stokes_q=jnp.float32(0.0), stokes_u=jnp.float32(0.0),
             emissiontype=-1 - k_fb_cont)
 
         # collisional excitation: line -> macro-atom upper level
@@ -2322,13 +2329,15 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     # =====================================================================
     if vpkt and "vpkt_I" in est:
         if detailed:
-            # the reference peels at electron scatters, kpkt and MA
-            # re-emissions (vpkt_call_estimators call sites,
-            # rpkt.cc:362, kpkt.cc, macroatom.cc) — NOT at thick-cell
+            # the reference peels at electron scatters (rpkt.cc:362),
+            # kpkt ff/fb emission (kpkt.cc:633,693) and MA radiative
+            # deactivation (macroatom.cc:294,378) — NOT at thick-cell
             # grey scatters (rpkt_event_thickcell has no vpkt call,
-            # rpkt.cc:491-509); creation in a thick cell and rays
-            # entering thick cells are killed inside the march below
-            vp_iso = k_ff | k_fb | m_kbb | ma_rad | ma_radrec
+            # rpkt.cc:491-509) and NOT at do_kpkt_bb Planck
+            # re-emission (kpkt.cc:448-475 has no
+            # vpkt_call_estimators); creation in a thick cell and
+            # rays entering thick cells are killed inside the march
+            vp_iso = k_ff | k_fb | ma_rad | ma_radrec
             vp_dip = ev_escat
         else:
             vp_iso = m_kbb

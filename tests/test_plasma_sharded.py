@@ -121,3 +121,66 @@ def test_thermal_sharded_matches_full(setup):
     shard = sh.solve_te_sharded(STARTS, thermal_mod.solve_Te,
                                 ncells, per_cell, repl)
     np.testing.assert_array_equal(shard, full)
+
+
+def test_slice_rows_never_slices_replicated_nu_edges():
+    """A replicated array whose leading dim coincidentally equals
+    ncells (BinnedRadField.nu_edges has nbins+1 entries) must pass
+    through _slice_rows untouched — slicing it would silently shift
+    every radfield bin lookup in a DD run with nmodel == nbins+1."""
+    from artis_tpu.plasma.radfield import BinnedRadField
+
+    ncells = 5
+    nbins = ncells - 1  # nu_edges length == ncells
+    rf = BinnedRadField(
+        nu_edges=np.geomspace(1e14, 1e16, nbins + 1),
+        W=np.full((ncells, nbins), 0.5),
+        T_R=np.full((ncells, nbins), 8000.0))
+    out = sh._slice_rows(rf, slice(1, 3), ncells)
+    np.testing.assert_array_equal(out.nu_edges, rf.nu_edges)
+    assert out.W.shape == (2, nbins)
+    assert out.T_R.shape == (2, nbins)
+
+
+def test_run_ranges_concurrent_matches_serial(setup):
+    ad, ph, ncells, Te, nd, pops, nl_lte = setup
+    W = np.full(ncells, 0.4)
+    TR = Te * 1.15
+    pirates = photoion_mod.compute_rates(ad, ph, Te, TR, W, pops.nne)
+    kw = dict(radfield=None, nt_ion_rate_ion=None,
+              nt_auger_prob=None, jb_lu=None)
+    serial = sh.solve_nlte_pops_sharded(
+        STARTS, ad, ph, pirates, nl_lte, nd, Te, TR, W, pops.nne,
+        10 * 86400.0, workers=1, **kw)
+    timings = []
+    conc = sh.solve_nlte_pops_sharded(
+        STARTS, ad, ph, pirates, nl_lte, nd, Te, TR, W, pops.nne,
+        10 * 86400.0, workers=3, timings=timings, **kw)
+    np.testing.assert_array_equal(conc, serial)
+    assert len(timings) == 3
+
+
+def test_sf_sharded_reuse_gating(setup):
+    """solve_sf_sharded applies the full-batch reuse gate
+    (nonthermal.cc:2559-2581): a second call at the next timestep with
+    unchanged nne-per-ion must reuse every cell (no fresh solves) and
+    return the same solution."""
+    ad, ph, ncells, Te, nd, pops, nl_lte = setup
+    solver = SpencerFanoSolver(ad, sfpts=128, emax_ev=2000.0)
+    ion_nd = nltepop_mod.ion_populations(ad, nl_lte)
+    s1 = sh.solve_sf_sharded(solver, STARTS, pops.nne, nl_lte, ion_nd,
+                             timestep=3, max_ts_between_solutions=2)
+    assert np.all(solver._ts_last_solved == 3)
+    s2 = sh.solve_sf_sharded(solver, STARTS, pops.nne, nl_lte, ion_nd,
+                             timestep=4, max_ts_between_solutions=2)
+    # all cells gated -> previous solution carried over verbatim
+    np.testing.assert_array_equal(s2.frac_heating, s1.frac_heating)
+    np.testing.assert_array_equal(s2.ion_rate_per_dep,
+                                  s1.ion_rate_per_dep)
+    assert np.all(solver._ts_last_solved == 3)  # no fresh solve
+    # beyond the age limit every cell re-solves
+    s3 = sh.solve_sf_sharded(solver, STARTS, pops.nne, nl_lte, ion_nd,
+                             timestep=7, max_ts_between_solutions=2)
+    assert np.all(solver._ts_last_solved == 7)
+    np.testing.assert_allclose(s3.frac_heating, s1.frac_heating,
+                               rtol=1e-12)

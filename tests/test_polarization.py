@@ -71,6 +71,66 @@ def test_unpolarized_input_scattering_statistics():
     assert np.abs(u[sel]).max() < 0.1
 
 
+def test_peel_stokes_analytic_dipole():
+    """Single-scatter peel of unpolarised light against the analytic
+    dipole matrix (rlc_emiss_vpkt realtype==1, vpkt.cc:124-180): at
+    scattering angle mu the peel weight is 3/(16 pi) (1+mu^2), the
+    polarisation degree is (1-mu^2)/(1+mu^2), and for an observer in
+    the plane of the incoming direction and the z axis the E field is
+    perpendicular to that (meridian) plane, so Q = -p and U = 0."""
+    import jax
+    n = 64
+    thetas = np.linspace(0.05, np.pi - 0.05, n)
+    obs = np.stack([np.sin(thetas), np.zeros(n), np.cos(thetas)],
+                   axis=-1)
+    d = np.tile([[0.0, 0.0, 1.0]], (n, 1))
+    # negligible flow velocity: v = pos/t with |pos| ~ 1e-7 c t
+    pos = np.tile([[1e-7, 0.0, 1e-7]], (n, 1))
+    t = np.ones(n)
+    pn, q, u = jax.jit(pol.peel_stokes)(
+        jnp.asarray(d, jnp.float32), jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32), jnp.asarray(pos, jnp.float32),
+        jnp.asarray(t, jnp.float32), jnp.asarray(obs, jnp.float32))
+    pn, q, u = np.asarray(pn), np.asarray(q), np.asarray(u)
+    mu = np.cos(thetas)
+    np.testing.assert_allclose(
+        pn, 3.0 / (16.0 * np.pi) * (1 + mu**2), rtol=1e-4)
+    p_expect = (1 - mu**2) / (1 + mu**2)
+    np.testing.assert_allclose(np.hypot(q, u), p_expect, atol=2e-4)
+    np.testing.assert_allclose(q, -p_expect, atol=2e-4)
+    np.testing.assert_allclose(u, 0.0, atol=2e-4)
+
+
+def test_peel_stokes_polarized_input_weight():
+    """Polarised incident light: the peel weight follows
+    3/(16 pi) (1 + mu^2 + (mu^2 - 1) Qold) with Qold the incident Q
+    rotated into the scattering plane (vpkt.cc:147-149). For incoming
+    direction z, observer in the x-z plane and incident Stokes given
+    in the incoming meridian frame, the scattering-plane rotation
+    angle i1 is 0 or pi (same plane), so Qold = Qin."""
+    n = 32
+    thetas = np.linspace(0.1, np.pi - 0.1, n)
+    obs = np.stack([np.sin(thetas), np.zeros(n), np.cos(thetas)],
+                   axis=-1)
+    # tilt the incoming direction slightly off the z axis: the
+    # meridian frame of exactly +-z is degenerate (vpkt.cc:935 divides
+    # by sqrt(nx^2+ny^2)) and carries no E-vector information
+    d = np.tile([[1e-3, 0.0, 1.0]], (n, 1))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pos = np.tile([[1e-7, 0.0, 1e-7]], (n, 1))
+    t = np.ones(n)
+    for qin in (0.7, -0.7):
+        pn, _, _ = pol.peel_stokes(
+            jnp.asarray(d, jnp.float32),
+            jnp.full(n, qin, jnp.float32), jnp.zeros(n, jnp.float32),
+            jnp.asarray(pos, jnp.float32), jnp.asarray(t, jnp.float32),
+            jnp.asarray(obs, jnp.float32))
+        mu = np.cos(thetas)
+        expect = 3.0 / (16.0 * np.pi) * (1 + mu**2
+                                         + (mu**2 - 1) * qin)
+        np.testing.assert_allclose(np.asarray(pn), expect, rtol=5e-3)
+
+
 def test_dipole_angle_distribution():
     """The dipole phase function ~ 1 + mu^2 for unpolarised input."""
     n = 40000

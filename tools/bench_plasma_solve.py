@@ -91,9 +91,44 @@ def main():
 
     res["total_warm_s"] = round(
         res["lte_s"] + res["sf_warm_s"] + res["nlte_s"], 3)
-    res["note"] = ("host-side batched solves over all cells; the "
-                   "reference distributes the same work over MPI "
-                   "ranks (sn3d.cc:951-964)")
+
+    # concurrent range execution (plasma.sharded.run_ranges): the
+    # single-host analogue of the reference's one-rank-per-range MPI
+    # split — measures real wall speedup of threads over the serial
+    # full-batch solve on the same cells
+    from artis_tpu.plasma import sharded as sh
+    workers = min(os.cpu_count() or 1, 8)
+    starts = tuple(int(b) for b in
+                   np.linspace(0, C, workers + 1).astype(int))
+    kw = dict(radfield=None, nt_ion_rate_ion=None,
+              nt_auger_prob=None, jb_lu=None)
+    t0 = time.time()
+    conc = sh.solve_nlte_pops_sharded(
+        starts, ad, None, None, nl, nd, T, T, W, nne,
+        10.0 * 86400.0, workers=workers, **kw)
+    res["nlte_concurrent_s"] = round(time.time() - t0, 3)
+    # at 512 cells the batched LAPACK/GEMM reduction order differs
+    # between range sizes -> agreement to numerical noise, not bitwise
+    np.testing.assert_allclose(conc, out, rtol=1e-8, atol=1e-30)
+    sfs2 = SpencerFanoSolver(ad, sfpts=args.sfpts)
+    sfs2.solve(nne[:1], nl[:1], ion_nd[:1])  # warm the kernel cache
+    t0 = time.time()
+    sol_c = sh.solve_sf_sharded(sfs2, starts, nne, nl, ion_nd,
+                                workers=workers)
+    res["sf_concurrent_s"] = round(time.time() - t0, 3)
+    np.testing.assert_allclose(sol_c.frac_heating, sol.frac_heating,
+                               rtol=1e-10)
+    res["plasma_workers"] = workers
+    res["nlte_concurrent_speedup"] = round(
+        res["nlte_s"] / max(res["nlte_concurrent_s"], 1e-9), 2)
+    res["sf_concurrent_speedup"] = round(
+        res["sf_warm_s"] / max(res["sf_concurrent_s"], 1e-9), 2)
+    res["note"] = ("host-side batched solves over all cells; "
+                   "*_concurrent_s rows run the same cells split "
+                   "into one range per worker thread "
+                   "(plasma.sharded.run_ranges), the single-host "
+                   "analogue of the reference's MPI rank split "
+                   "(sn3d.cc:951-964)")
     out_path = args.out or os.path.join(here, "PLASMA_SOLVE.json")
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)

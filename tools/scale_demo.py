@@ -77,6 +77,10 @@ def main():
         "table_build_s": round(getattr(sim, "_t_tables_ma", -1.0), 2),
         "events_per_s": round(events / max(wall, 1e-9), 1),
         **_hbm_stats(),
+        **{f"t_{k}": round(v, 2) for k, v in
+           getattr(sim, "_t_phase", {}).items()},
+        **{f"tsub_{k}": round(v, 2) for k, v in
+           getattr(sim, "_t_tables_sub", {}).items()},
     }))
 
 
