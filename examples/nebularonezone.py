@@ -42,9 +42,12 @@ def main():
     if "FTSTEP" in os.environ:
         cfg.ftstep = int(os.environ["FTSTEP"])
     # nltenebular variant options at CI test scale
-    # (tests/setup_nebularonezone.sh:17-29)
-    cfg.mintemp = 2000.0
-    cfg.maxtemp = 10_000.0
+    # (tests/setup_nebularonezone.sh:17-29); the multi-zone validation
+    # pair widens the clamp range on both sides (refbuild
+    # build_reference.sh MINTEMP/MAXTEMP overrides) so the Te/TR
+    # contracts measure the solvers rather than the clamps
+    cfg.mintemp = float(os.environ.get("MINTEMP", 2000.0))
+    cfg.maxtemp = float(os.environ.get("MAXTEMP", 10_000.0))
     cfg.nonthermal_on = True
     cfg.nlte_pops_on = True
     cfg.multibin_radfield_on = True

@@ -243,3 +243,24 @@ def test_ff_absorption_to_kpkt():
     # thermal re-emission draws from the Planck distribution at Te;
     # escaped packets include thermally re-emitted ones
     assert np.all(np.asarray(out.ptype) != TYPE_KPKT)  # all processed
+
+def test_tied_f32_line_frequencies_both_processed():
+    """At 1e5+ lines adjacent line_nu values collapse to EQUAL f32
+    bit patterns (~30 m/s velocity resolution, SCALE_DEMO note). The
+    analytic cumulative walk must process BOTH members of a tie, in
+    index order: transmission through a tied pair equals
+    exp(-(tau_a + tau_b)), exactly as for two resolvable lines."""
+    nu_tied = np.float32(NU0 * 1.003)
+    lines = np.array([nu_tied, nu_tied], np.float32)
+    assert lines[0] == lines[1]  # genuinely identical in f32
+    ta, tb = 0.6, 0.9
+    params = make_params(lines, [ta / 2.0, tb / 2.0])
+    tables = make_tables(ncells=1, rmax=0.2, levelpop=2.0)
+    pk = make_rpkts(4000, nu_cmf=NU0 * 1.006)
+    out, est = run_detailed(pk, tables, params, t2=1.5)
+    frac_clean = (np.asarray(out.interactions) == 0).mean()
+    expect = np.exp(-ta - tb)
+    assert abs(frac_clean - expect) < 0.035, (frac_clean, expect)
+    # every non-interacting packet walked past both tied lines
+    clean = np.asarray(out.interactions) == 0
+    assert np.all(np.asarray(out.next_trans)[clean] >= 2)

@@ -52,11 +52,13 @@ def run_one(ndev: int, npkts: int, nsteps: int) -> dict:
     sim.advance_one_timestep(checkpoint=False, verbose=False)
     t_first = time.time() - t0
     rounds = [int(getattr(sim, "_dd_rounds", 0))]
+    stats = [dict(getattr(sim, "_dd_stats", {}))]
     events = 0
     t0 = time.time()
     for _ in range(nsteps):
         sim.advance_one_timestep(checkpoint=False, verbose=False)
         rounds.append(int(getattr(sim, "_dd_rounds", 0)))
+        stats.append(dict(getattr(sim, "_dd_stats", {})))
         dlog = sim.dep_log[-1]
         events += (dlog["escounter"] + dlog["cellcrossings"]
                    + dlog["interactions"] + dlog["pellet_decays"])
@@ -68,7 +70,8 @@ def run_one(ndev: int, npkts: int, nsteps: int) -> dict:
             "events": int(events),
             "events_per_s": round(events / wall, 1),
             "migration_rounds_per_ts": rounds[1:],
-            "rounds_ts0": rounds[0]}
+            "rounds_ts0": rounds[0],
+            "migration_stats_per_ts": stats[1:]}
 
 
 def main():

@@ -243,7 +243,14 @@ def main():
     ap.add_argument("--rtol-dep", type=float, default=0.10)
     ap.add_argument("--rtol-lc", type=float, default=0.15)
     ap.add_argument("--rtol-spec", type=float, default=0.25)
+    ap.add_argument("--waive", action="append", default=[],
+                    metavar="CONTRACT:REASON",
+                    help="mark a contract as superseded: it is "
+                         "excluded from the overall pass and carries "
+                         "the reason in the report (e.g. "
+                         "'grid.Te:settled by the NO_LUT pair ...')")
     args = ap.parse_args()
+    waivers = dict(w.split(":", 1) for w in args.waive)
 
     results: list[dict] = []
 
@@ -299,9 +306,13 @@ def main():
         compare_spectrum(parse_spec(ref_spec_p), parse_spec(tpu_spec_p),
                          results, rtol=args.rtol_spec)
 
-    ok = all(r["pass"] for r in results)
     for r in results:
-        flag = "PASS" if r["pass"] else "FAIL"
+        if r["name"] in waivers:
+            r["superseded"] = waivers[r["name"]]
+    ok = all(r["pass"] for r in results if "superseded" not in r)
+    for r in results:
+        flag = ("WAIVED" if "superseded" in r
+                else "PASS" if r["pass"] else "FAIL")
         print(f"[{flag}] {r['name']:26s} median={r['median_rel_err']:.4f} "
               f"p90={r['p90_rel_err']:.4f} max={r['max_rel_err']:.4f} "
               f"(n={r['n']})")

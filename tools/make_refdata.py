@@ -127,12 +127,23 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("outdir")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--nlev", type=int, default=0,
+                   help="levels per ion for a production-scale "
+                        "linelist (e.g. 192 -> ~1.2e5 lines, the "
+                        "reference's real regime, input.cc:1053-1065);"
+                        " 0 = the small CI-scale dataset (1699 lines)")
     args = p.parse_args()
 
     from artis_tpu.atomic import make_synthetic_atomic_data
     from artis_tpu.phixs import make_hydrogenic_phixs
 
-    ad = make_synthetic_atomic_data(seed=args.seed)
+    if args.nlev > 0:
+        ad = make_synthetic_atomic_data(
+            seed=args.seed,
+            elements=((14, 2, args.nlev), (26, 3, args.nlev),
+                      (27, 3, args.nlev), (28, 3, args.nlev)))
+    else:
+        ad = make_synthetic_atomic_data(seed=args.seed)
     ph = make_hydrogenic_phixs(ad)
     write_reference_atomicdata(ad, ph, args.outdir)
     print(f"wrote reference-format dataset to {args.outdir}: "
