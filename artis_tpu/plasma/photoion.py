@@ -50,6 +50,79 @@ def _planck(nu, T):
         return 2.0 * H * nu**3 / CLIGHT**2 / np.expm1(np.maximum(x, 1e-30))
 
 
+def _upsampled_grids(ph: PhixsData, UPS: int = 8):
+    """Wien-resolved cross-section grids (timestep-independent;
+    cached on the PhixsData instance). Returns (sig, nu, dnu, x_f),
+    each [ncont, NPf] except x_f [NPf]."""
+    cache = getattr(ph, "_rate_grid_cache", None)
+    if cache is not None:
+        return cache
+    xg = ph.x_grid
+    jf = np.arange((len(xg) - 1) * UPS + 1)
+    j0 = np.minimum(jf // UPS, len(xg) - 2)
+    wf = jf / UPS - j0
+    x_f = xg[j0] * (1 - wf) + xg[j0 + 1] * wf
+    sig = (ph.cont_sigma[:, j0] * (1 - wf)[None, :]
+           + ph.cont_sigma[:, j0 + 1] * wf[None, :])
+    nu = ph.cont_nu_edge[:, None] * x_f[None, :]
+    dnu = np.gradient(nu, axis=1)
+    object.__setattr__(ph, "_rate_grid_cache", (sig, nu, dnu, x_f))
+    return sig, nu, dnu, x_f
+
+
+# per-continuum LUT grid in u = h nu_edge / (k T): covers MINTEMP~1e3 K
+# at hard X-ray edges down to MAXTEMP~1e5+ K at soft edges
+_N_ULUT = 1536
+_U_LO, _U_HI = 1e-4, 700.0
+
+
+def _rate_luts(ph: PhixsData):
+    """Per-continuum rate-integral LUTs over u = h nu_edge/(k T).
+
+    Every fullspec integral in this module reduces to
+        F(u) = sum_p K[i, p] * exp(-u * x[p])
+    with a timestep-independent kernel K (the Planck factor times the
+    stimulated-emission correction collapses: B_nu(T)(1-e^-x) =
+    (2 h nu^3/c^2) e^-x). Tabulating F on a dense log-u grid once per
+    run replaces the [ncells, ncont, NPf] exponential sweep per
+    timestep with an [ncells, ncont] interpolation — the reference
+    stores the same LUTs in ratecoeff.dat (TABLESIZE temperature
+    grid, ratecoeff.cc:450-630); this grid is ~25x denser, so the
+    interpolation error (<1e-4) is far below the 2-6% agreement of
+    the direct integrals with the reference's tables."""
+    cache = getattr(ph, "_rate_lut_cache", None)
+    if cache is not None:
+        return cache
+    sig, nu, dnu, x_f = _upsampled_grids(ph)
+    # K_a: alpha_sp / photoionisation kernel; K_b: bf-cooling /
+    # bf-heating kernel (see compute_rates formulas)
+    K_a = sig * TWOOVERCLIGHTSQUARED * nu**2 * dnu
+    K_b = (sig * (nu - ph.cont_nu_edge[:, None]) * 2.0 * H
+           / CLIGHT**2 * nu**2 * dnu)
+    logu = np.linspace(np.log(_U_LO), np.log(_U_HI), _N_ULUT)
+    E = np.exp(-np.outer(x_f, np.exp(logu)))  # [NPf, NU]
+    Fa = K_a @ E  # [ncont, NU]
+    Fb = K_b @ E
+    tiny = 1e-300
+    cache = (logu, np.log(np.maximum(Fa, tiny)),
+             np.log(np.maximum(Fb, tiny)))
+    object.__setattr__(ph, "_rate_lut_cache", cache)
+    return cache
+
+
+def _lut_eval(logF: np.ndarray, logu_grid: np.ndarray,
+              u: np.ndarray) -> np.ndarray:
+    """Interpolate per-continuum log-F rows at u [ncells, ncont]."""
+    lu = np.log(np.clip(u, _U_LO, _U_HI))
+    step = logu_grid[1] - logu_grid[0]
+    f = (lu - logu_grid[0]) / step
+    i0 = np.clip(f.astype(np.int64), 0, len(logu_grid) - 2)
+    w = f - i0
+    cols = np.broadcast_to(np.arange(logF.shape[0])[None, :], u.shape)
+    v = (logF[cols, i0] * (1.0 - w) + logF[cols, i0 + 1] * w)
+    return np.exp(v)
+
+
 def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
                   TR: np.ndarray, W: np.ndarray,
                   nne: np.ndarray, radfield=None,
@@ -71,24 +144,12 @@ def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
     W = np.asarray(W, np.float64)[:, None]
     nne_c = np.asarray(nne, np.float64)[:, None]
 
-    # upsample the cross-section grid for the integrals: the Wien
-    # factor e^{-h nu / k T} decays on a scale k T / h (~2e14 Hz at
-    # 1e4 K) that the tabulated x spacing (0.1 nu_edge ~ 4e14 Hz at
-    # UV edges) under-resolves — the reference integrates the
-    # interpolated sigma with an adaptive GSL rule
-    # (precalculate_rate_coefficient_integrals, ratecoeff.cc:450-630);
-    # trapezoid on an 8x-refined grid matches it to < 1%
-    UPS = 8
-    xg = ph.x_grid
-    jf = np.arange((len(xg) - 1) * UPS + 1)
-    j0 = np.minimum(jf // UPS, len(xg) - 2)
-    wf = jf / UPS - j0
-    x_f = xg[j0] * (1 - wf) + xg[j0 + 1] * wf
-    sig = (ph.cont_sigma[:, j0] * (1 - wf)[None, :]
-           + ph.cont_sigma[:, j0 + 1] * wf[None, :])
-    x = x_f[None, :]  # [1, NPf]
-    nu = ph.cont_nu_edge[:, None] * x  # [nc, NPf]
-    dnu = np.gradient(nu, axis=1)  # trapezoid-ish spacing
+    # Wien-resolved upsampled cross-section grids (the reference
+    # integrates interpolated sigma with an adaptive GSL rule,
+    # precalculate_rate_coefficient_integrals, ratecoeff.cc:450-630;
+    # trapezoid on the 8x-refined grid matches to < 1%) — cached,
+    # they are timestep-independent
+    sig, nu, dnu, x_f = _upsampled_grids(ph)
 
     g_l = ad.level_g[ph.cont_level]
     g_u = ad.level_g[ph.cont_upperlevel]
@@ -99,42 +160,29 @@ def compute_rates(ad: AtomicData, ph: PhixsData, Te: np.ndarray,
         sfac = (SAHACONST * (g_l / g_u)[None, :] * Te**-1.5
                 * np.exp(np.minimum(E_thresh[None, :] / (KB * Te), 500.0)))
 
-    # integrals: a full [ncells, nc, NP] broadcast would be large;
-    # vectorise over cell BLOCKS instead of a per-cell Python loop
-    # (the round-1 per-cell loop was a wall at >1e3 cells)
+    # fullspec integrals via the per-continuum u-LUTs (_rate_luts):
+    # every integral is F(u) = sum K exp(-u x) with u = h nu_edge/kT,
+    # so the per-timestep cost is one [ncells, ncont] interpolation
+    # per rate instead of an [ncells, ncont, NPf] exponential sweep
+    # (the 46 s/ts host wall at 512 cells x 767 continua, SCALE_DEMO)
     ncells = Te.shape[0]
     nc = ph.ncont
-    alpha_sp = np.zeros((ncells, nc))
-    bfcool = np.zeros((ncells, nc))
-    gamma = np.zeros((ncells, nc))
-    bfheat = np.zeros((ncells, nc))
-
-    NP = nu.shape[1]
-    blk = max(1, int(2e7) // max(nc * NP, 1))  # ~160 MB f64 peak
-    edge = ph.cont_nu_edge[None, :, None]
-    for c0 in range(0, ncells, blk):
-        c1 = min(c0 + blk, ncells)
-        TeB = Te[c0:c1, :, None]
-        TRB = TR[c0:c1, :, None]
-        WB = W[c0:c1, :, None]
-        with np.errstate(over="ignore", invalid="ignore"):
-            eTe = np.exp(-np.minimum(H * nu[None] / (KB * TeB), 500.0))
-            alpha_sp[c0:c1] = 4.0 * np.pi * np.sum(
-                sig[None] * TWOOVERCLIGHTSQUARED * nu[None] ** 2 * eTe
-                * dnu[None], axis=2)
-            bfcool[c0:c1] = 4.0 * np.pi * np.sum(
-                sig[None] * (nu[None] - edge) * 2.0 * H / CLIGHT**2
-                * nu[None] ** 2 * eTe * dnu[None], axis=2)
-            if with_radiative and radfield is None:
-                bnu = _planck(nu[None], TRB)
-                stim = -np.expm1(-np.minimum(H * nu[None] / (KB * TRB),
-                                             500.0))
-                gamma[c0:c1] = 4.0 * np.pi * np.sum(
-                    WB * sig[None] / (H * nu[None]) * bnu * stim
-                    * dnu[None], axis=2)
-                bfheat[c0:c1] = 4.0 * np.pi * np.sum(
-                    WB * sig[None] * (1.0 - edge / nu[None]) * bnu
-                    * stim * dnu[None], axis=2)
+    logu_grid, logFa, logFb = _rate_luts(ph)
+    u_Te = (H / KB) * ph.cont_nu_edge[None, :] / Te
+    alpha_sp = 4.0 * np.pi * _lut_eval(logFa, logu_grid, u_Te)
+    bfcool = 4.0 * np.pi * _lut_eval(logFb, logu_grid, u_Te)
+    if with_radiative and radfield is None:
+        # B_nu(T_R)(1 - e^{-h nu/k T_R}) = (2 h nu^3/c^2) e^{-u x},
+        # so sigma/(h nu) * B stim collapses to sigma (2/c^2) nu^2
+        # e^{-ux} = the K_a kernel, and sigma (1 - edge/nu) * B stim
+        # to K_b: the dilute-field photoionisation and bf-heating
+        # integrals are the SAME LUTs evaluated at u(T_R), scaled W
+        u_TR = (H / KB) * ph.cont_nu_edge[None, :] / TR
+        gamma = 4.0 * np.pi * W * _lut_eval(logFa, logu_grid, u_TR)
+        bfheat = 4.0 * np.pi * W * _lut_eval(logFb, logu_grid, u_TR)
+    else:
+        gamma = np.zeros((ncells, nc))
+        bfheat = np.zeros((ncells, nc))
     alpha_sp *= sfac
     bfcool *= sfac
 
@@ -199,20 +247,42 @@ def build_bf_opacity_tables(ad: AtomicData, ph: PhixsData,
     dlognu = (np.log(nu_max) - lognu_min) / nbins
     nu_bins = np.exp(lognu_min + (np.arange(nbins) + 0.5) * dlognu)
 
-    # sigma of each continuum at each bin centre [ncont, nbins]
-    sig_bins = np.stack([ph.sigma_at(i, nu_bins)
-                         for i in range(ph.ncont)], axis=0)
+    # sigma of each continuum at each bin centre [ncont, nbins] —
+    # timestep-independent (fixed bin grid), cached on the PhixsData
+    key = (nbins, round(lognu_min, 9), round(dlognu, 12))
+    sb_cache = getattr(ph, "_sig_bins_cache", None)
+    if sb_cache is not None and sb_cache[0] == key:
+        sig_bins = sb_cache[1]
+    else:
+        # vectorised over all continua at once: x[i, b] = nu_b/edge_i
+        xg = ph.x_grid
+        x = nu_bins[None, :] / ph.cont_nu_edge[:, None]
+        f = np.clip(np.searchsorted(xg, x) - 1, 0, len(xg) - 2)
+        w = np.clip((x - xg[f]) / (xg[f + 1] - xg[f]), 0.0, 1.0)
+        rows = np.arange(ph.ncont)[:, None]
+        sig_bins = (ph.cont_sigma[rows, f] * (1 - w)
+                    + ph.cont_sigma[rows, f + 1] * w)
+        sig_bins = np.where(x < 1.0, 0.0, sig_bins)
+        above = x > xg[-1]
+        sig_bins = np.where(
+            above, ph.cont_sigma[:, -1:] * (xg[-1]
+                                            / np.maximum(x, 1e-10))**3,
+            sig_bins)
+        object.__setattr__(ph, "_sig_bins_cache", (key, sig_bins))
     chi = nl @ sig_bins  # [ncells, nbins] (cm^-1 before stim corr)
     stim = -np.expm1(-H * nu_bins[None, :] / (KB * Te[:, None]))
     chi_bf = chi * stim * x_unit
 
-    # coarse selection bins
+    # coarse selection bins — f32 throughout: the kernel consumes the
+    # table as f32, and the [ncells, B, ncont] intermediate dominates
+    # the host memory traffic of this builder
     dlognu_sel = (np.log(nu_max) - lognu_min) / nsel_bins
     nu_sel = np.exp(lognu_min + (np.arange(nsel_bins) + 0.5) * dlognu_sel)
     sig_sel = np.stack([ph.sigma_at(i, nu_sel)
-                        for i in range(ph.ncont)], axis=0)  # [ncont, B]
-    w = nl[:, None, :] * sig_sel.T[None, :, :]  # [ncells, B, ncont]
-    sel_cum = np.cumsum(w, axis=2)
+                        for i in range(ph.ncont)],
+                       axis=0).astype(np.float32)  # [ncont, B]
+    w = nl.astype(np.float32)[:, None, :] * sig_sel.T[None, :, :]
+    sel_cum = np.cumsum(w, axis=2, dtype=np.float32)
 
     return {
         "chi_bf": chi_bf.astype(np.float32),

@@ -171,3 +171,50 @@ def test_multi_target_phixs_expansion(ad, tmp_path):
     assert len(rows2) == 1
     np.testing.assert_allclose(ph.cont_sigma[rows2[0]],
                                np.array(sig) * 1e-18, rtol=1e-12)
+
+
+def test_rate_luts_match_direct_integrals(ad, ph):
+    """The per-continuum u-LUT fast path (photoion._rate_luts) must
+    reproduce the direct Wien-resolved integrals it replaced to
+    interpolation accuracy (<0.1%) across the temperature range."""
+    from artis_tpu.plasma.photoion import (_rate_luts,
+                                           _upsampled_grids, _lut_eval)
+    from artis_tpu.constants import H, KB, CLIGHT
+
+    sig, nu, dnu, x_f = _upsampled_grids(ph)
+    logu, logFa, logFb = _rate_luts(ph)
+    rng = np.random.default_rng(5)
+    T = rng.uniform(2000.0, 60000.0, 7)
+    edge = ph.cont_nu_edge
+    for Ti in T:
+        with np.errstate(over="ignore"):
+            eT = np.exp(-np.minimum(H * nu / (KB * Ti), 500.0))
+        direct_a = np.sum(sig * (2.0 / CLIGHT**2) * nu**2 * eT * dnu,
+                          axis=1)
+        direct_b = np.sum(sig * (nu - edge[:, None]) * 2.0 * H
+                          / CLIGHT**2 * nu**2 * eT * dnu, axis=1)
+        u = (H / KB) * edge[None, :] / Ti
+        lut_a = _lut_eval(logFa, logu, u)[0]
+        lut_b = _lut_eval(logFb, logu, u)[0]
+        sel = direct_a > direct_a.max() * 1e-12
+        np.testing.assert_allclose(lut_a[sel], direct_a[sel],
+                                   rtol=1e-3)
+        sel = direct_b > direct_b.max() * 1e-12
+        np.testing.assert_allclose(lut_b[sel], direct_b[sel],
+                                   rtol=1e-3)
+
+
+def test_sig_bins_vectorised_matches_sigma_at(ad, ph):
+    """The vectorised all-continua bin interpolation in
+    build_bf_opacity_tables must equal the per-continuum sigma_at."""
+    nu_bins = np.geomspace(1e14, 5e15, 257)
+    from artis_tpu.plasma.photoion import build_bf_opacity_tables
+    nl = np.ones((2, ad.nlevels_total))
+    out = build_bf_opacity_tables(ad, ph, nl, np.array([8e3, 9e3]),
+                                  1.0, 1e14, 5e15, nbins=257)
+    sig_cached = ph._sig_bins_cache[1]
+    nu_c = np.exp(np.log(1e14) + (np.arange(257) + 0.5)
+                  * (np.log(5e15) - np.log(1e14)) / 257)
+    for i in (0, ph.ncont // 2, ph.ncont - 1):
+        np.testing.assert_allclose(sig_cached[i], ph.sigma_at(i, nu_c),
+                                   rtol=1e-10, atol=1e-30)
