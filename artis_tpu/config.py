@@ -194,6 +194,11 @@ class SimConfig:
     # one-MPI-rank-per-cell-range update_grid split (sn3d.cc:951-964).
     # 0 = auto (CPU count, capped); 1 = serial full-batch
     plasma_workers: int = 0
+    # domain-decomposition halo width (model cells replicated on each
+    # side of a device's owned range): boundary packets random-walk
+    # across the seam locally instead of paying one migration round
+    # per crossing (domain.plan_decomposition)
+    dd_halo: int = 2
 
     # --- output binning (exspec analogue)
     nnubins_gamma: int = 200

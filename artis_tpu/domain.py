@@ -62,18 +62,36 @@ def make_domain_mesh(n_devices: Optional[int] = None) -> Mesh:
 class DomainPlan:
     ndev: int
     nmodel: int
-    ndo_max: int  # max owned model cells per device
-    starts: tuple  # [ndev+1] model-cell range starts
+    ndo_max: int  # max LOCAL model cells per device (owned + halo)
+    starts: tuple  # [ndev+1] OWNED model-cell range starts
     cell_owner: np.ndarray  # [ncells_prop] owning device per prop cell
     m0: int  # home slots per device
     v: int  # visitor slots per device
+    halo: int = 0  # extra model cells held on each side of the range
+
+    def ext_range(self, d: int) -> tuple[int, int]:
+        """The device's LOCAL model range: owned cells extended by the
+        halo on both sides (clipped to the model)."""
+        return (max(self.starts[d] - self.halo, 0),
+                min(self.starts[d + 1] + self.halo, self.nmodel))
 
 
 def plan_decomposition(cell_mgi: np.ndarray, nmodel: int,
                        rho_init: np.ndarray, ndev: int, npkts: int,
-                       headroom: float = 1.0) -> DomainPlan:
+                       headroom: float = 1.0,
+                       halo: int = 0) -> DomainPlan:
     """Split model cells into ``ndev`` contiguous ranges with equal
-    non-empty counts (setup_nstart_ndo, grid.cc:1931-1998)."""
+    non-empty counts (setup_nstart_ndo, grid.cc:1931-1998).
+
+    ``halo`` > 0 additionally replicates that many neighbouring model
+    cells' tables on each side of every range: a packet random-walking
+    across the seam keeps transporting locally and only migrates when
+    it exits the halo, cutting the per-timestep migration round count
+    (which is bounded below by the worst per-packet count of
+    OWNERSHIP-EXIT crossings, not raw boundary crossings). This has no
+    reference analogue — the reference replicates the whole grid on
+    every rank — it is the TPU-native middle ground between full
+    replication and strict spatial sharding."""
     nonempty = (np.asarray(rho_init[:nmodel]) > 0).astype(np.int64)
     total = max(int(nonempty.sum()), 1)
     cum = np.cumsum(nonempty)
@@ -86,12 +104,14 @@ def plan_decomposition(cell_mgi: np.ndarray, nmodel: int,
     mgi = np.asarray(cell_mgi)
     owner = np.searchsorted(starts[1:-1], mgi, side="right")
     owner = np.where(mgi < nmodel, owner, np.arange(len(mgi)) % ndev)
-    ndo_max = int(np.max(np.diff(starts)))
+    ndo_max = int(np.max(np.diff(starts))) + \
+        (2 * halo if ndev > 1 else 0)
     m0 = -(-npkts // ndev)
     v = -(-max(int(m0 * headroom), ndev) // ndev) * ndev
     return DomainPlan(ndev=ndev, nmodel=nmodel, ndo_max=ndo_max,
                       starts=tuple(int(x) for x in starts),
-                      cell_owner=owner.astype(np.int32), m0=m0, v=v)
+                      cell_owner=owner.astype(np.int32), m0=m0, v=v,
+                      halo=(halo if ndev > 1 else 0))
 
 
 def shard_domain_tables(tables: dict, plan: DomainPlan,
@@ -109,7 +129,7 @@ def shard_domain_tables(tables: dict, plan: DomainPlan,
         if v.ndim >= 1 and v.shape[0] == nm + 1 and k != "cell_mgi":
             sl = np.zeros((D, ndo1) + v.shape[1:], v.dtype)
             for d in range(D):
-                s, e = plan.starts[d], plan.starts[d + 1]
+                s, e = plan.ext_range(d)
                 sl[d, :e - s] = v[s:e]
                 sl[d, ndo1 - 1] = v[nm]  # dummy/empty row
             out[k] = jax.device_put(sl, shard)
@@ -118,15 +138,23 @@ def shard_domain_tables(tables: dict, plan: DomainPlan,
             out[k] = jax.device_put(v, repl)
             specs[k] = P()
 
-    # per-device map: propagation cell -> LOCAL model index
+    # per-device map: propagation cell -> LOCAL model index (owned +
+    # halo cells resolve; everything else hits the dummy row)
     cm = np.asarray(tables["cell_mgi"])
     loc = np.zeros((D, len(cm)), np.int32)
+    mine = np.zeros((D, len(cm)), np.int8)
     for d in range(D):
-        s, e = plan.starts[d], plan.starts[d + 1]
+        s, e = plan.ext_range(d)
         inrange = (cm >= s) & (cm < e)
         loc[d] = np.where(inrange, cm - s, ndo1 - 1).astype(np.int32)
+        # empty propagation cells (mgi >= nmodel) keep their
+        # round-robin owner: exactly one device must free-stream them
+        mine[d] = (inrange | ((cm >= nm)
+                              & (plan.cell_owner == d))).astype(np.int8)
     out["cell_mgi"] = jax.device_put(loc, shard)
     specs["cell_mgi"] = P("dd")
+    out["cell_mine"] = jax.device_put(mine, shard)
+    specs["cell_mine"] = P("dd")
     if "cell_pack" in tables:
         # the packed per-cell scalar rows carry the model index in
         # channel 0 — remap it to each device's LOCAL index (other
@@ -219,8 +247,11 @@ def assemble_estimators(est_stack: dict, plan: DomainPlan) -> dict:
                 "vpkt_I", "vpkt_Q", "vpkt_U", "line_em", "line_ab"):
             g = np.zeros((nm + 1,) + a.shape[2:], a.dtype)
             for d in range(D):
-                s, e = plan.starts[d], plan.starts[d + 1]
-                g[s:e] = a[d, :e - s]
+                # halo rows overlap between neighbouring devices:
+                # contributions accumulate (each transport event is
+                # processed on exactly one device, so the sum is exact)
+                s, e = plan.ext_range(d)
+                g[s:e] += a[d, :e - s]
                 g[nm] += a[d, ndo1 - 1]
             out[k] = g
         else:
@@ -295,8 +326,12 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
         valid = d["ptype"] >= 0
         pending = valid & (d["ptype"] != TYPE_ESCAPE) \
             & (d["prop_time"] < t2)
-        owner = tables["cell_owner"][
-            jnp.clip(d["cell"], 0, tables["cell_owner"].shape[0] - 1)]
+        cell_cl = jnp.clip(d["cell"], 0,
+                           tables["cell_owner"].shape[0] - 1)
+        owner = tables["cell_owner"][cell_cl]
+        # halo ownership: migrate only when the packet's cell left
+        # this device's extended (owned + halo) range
+        mine0 = tables["cell_mine"][cell_cl] != 0
         home = jnp.clip(d["pkt_id"] // M0, 0, D - 1).astype(jnp.int32)
 
         # ---- advertise free visitor capacity (receiver back-pressure)
@@ -346,11 +381,12 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
             d_s["ptype"] = jnp.where(send, TYPE_INVALID, d_s["ptype"])
             inv = jnp.argsort(order)
             d_nat = {k: v[inv] for k, v in d_s.items()}
-            return d_nat, recv
+            return d_nat, recv, jnp.sum(send.astype(jnp.int32))
 
         # ---- exchange 1: pending packets -> their cell's owner
-        want_p = valid & pending & (owner != me)
-        d1, recv_p = sorted_exchange(d, owner, want_p, CP, cap_p)
+        want_p = valid & pending & ~mine0
+        d1, recv_p, n_sent_p = sorted_exchange(d, owner, want_p, CP,
+                                               cap_p)
 
         # ---- place received pending packets into free visitor slots
         rp_valid = recv_p["ptype"] >= 0
@@ -372,16 +408,16 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
         valid1 = d1["ptype"] >= 0
         pending1 = valid1 & (d1["ptype"] != TYPE_ESCAPE) \
             & (d1["prop_time"] < t2)
-        owner1 = tables["cell_owner"][
-            jnp.clip(d1["cell"], 0,
-                     tables["cell_owner"].shape[0] - 1)]
+        cell1_cl = jnp.clip(d1["cell"], 0,
+                            tables["cell_owner"].shape[0] - 1)
+        mine1 = tables["cell_mine"][cell1_cl] != 0
         home1 = jnp.clip(d1["pkt_id"] // M0, 0, D - 1) \
             .astype(jnp.int32)
         finished1 = valid1 & ~pending1
-        evac1 = pending1 & (owner1 != me) & (home1 != me)
+        evac1 = pending1 & ~mine1 & (home1 != me)
         want_h = (finished1 | evac1) & (home1 != me)
         cap_h = jnp.full((D,), CF, jnp.int32)
-        d2, recv_f = sorted_exchange(d1, home1, want_h, CF, cap_h)
+        d2, recv_f, _ = sorted_exchange(d1, home1, want_h, CF, cap_h)
 
         # received homebound packets -> their reserved home slots
         rf_valid = recv_f["ptype"] >= 0
@@ -410,14 +446,18 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
         n_pending = jax.lax.psum(jnp.sum(pend2.astype(jnp.int32)),
                                  "dd")
         n_away = jax.lax.psum(jnp.sum(away2.astype(jnp.int32)), "dd")
+        # owner migrations this round: the communication the protocol
+        # exists for — rounds with n_migrated == 0 are pure-compute
+        # rounds the chunk-size escalation should absorb
+        n_migrated = jax.lax.psum(n_sent_p, "dd")
         # restore the device axis on the local estimator block
         est = {k: v[None] for k, v in est.items()}
-        return pk_out, est, n_pending, n_away
+        return pk_out, est, n_pending, n_away, n_migrated
 
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("dd"), P("dd"), specs, P(), P(), P(), P(), P()),
-        out_specs=(P("dd"), P("dd"), P(), P()),
+        out_specs=(P("dd"), P("dd"), P(), P(), P()),
         check_vma=False)
     return jax.jit(sharded)
 
@@ -425,46 +465,56 @@ def make_domain_step(mesh: Mesh, plan: DomainPlan, specs: dict, *,
 def run_domain_timestep(step, pk, est, tables, params, t2,
                         nts_is_first, base_key, chunk_iters,
                         max_rounds: int = 4096, verbose: bool = False,
-                        max_chunk_iters: int = 8192):
+                        max_chunk_iters: int = 32768,
+                        stats_out: Optional[dict] = None):
     """Drive migration rounds until every packet finished AND went
     home. Returns (pk, est, rounds).
 
     The per-round iteration budget escalates geometrically: one round
     costs a full migration barrier (the communication metric in
-    DD_SCALING.json), so once the pending set stops shrinking fast —
-    the long tail of the timestep, where a few packets need thousands
-    of kernel iterations with only occasional domain crossings — we
-    double ``chunk_iters`` (a traced int32: no recompilation) instead
-    of paying one all-to-all per 256 iterations. Early rounds stay
-    short so freshly-migrated packets aren't frozen for a huge chunk
-    while their owner works. This keeps the round count near the
+    DD_SCALING.json), so beyond the first few rounds — where most
+    packets are still near their owners and short chunks keep
+    freshly-migrated packets from being frozen — we double
+    ``chunk_iters`` every round (a traced int32: no recompilation)
+    until the cap. A round that migrated nothing doubles
+    unconditionally: it was pure compute the chunk budget should have
+    absorbed. This drives the round count toward the per-packet
     max-boundary-crossings lower bound instead of total_iters/chunk.
+
+    ``stats_out`` (optional dict) receives: ``migrations`` (total
+    owner-migrations), ``rounds_zero_migration`` (rounds that moved
+    no packets), ``max_round_migrations``.
     """
     rounds = 0
     it = int(chunk_iters)
-    npkts0 = None
-    prev_pending = None
+    migr_total = 0
+    zero_rounds = 0
+    migr_max = 0
     while True:
-        pk, est, n_pending, n_away = step(
+        pk, est, n_pending, n_away, n_migr = step(
             pk, est, tables, params, jnp.float32(t2),
             nts_is_first, base_key, jnp.int32(it))
         rounds += 1
         np_, na_ = int(n_pending), int(n_away)
-        if npkts0 is None:
-            npkts0 = max(np_, 1)
+        nm_ = int(n_migr)
+        migr_total += nm_
+        migr_max = max(migr_max, nm_)
         if verbose and rounds % 16 == 0:
             print(f"  [domain] round {rounds}: pending={np_} "
-                  f"away={na_} chunk={it}")
+                  f"away={na_} migrated={nm_} chunk={it}")
         if np_ == 0 and na_ == 0:
+            if stats_out is not None:
+                stats_out["migrations"] = migr_total
+                stats_out["rounds_zero_migration"] = zero_rounds
+                stats_out["max_round_migrations"] = migr_max
             return pk, est, rounds
-        # escalate: tail regime (pending well below the initial
-        # population — from here the per-round decay is slow and each
-        # barrier processes few packets) or stalled progress (tail
-        # packets need more iterations than one chunk grants)
-        if np_ < 0.25 * npkts0 or (prev_pending is not None
-                                   and np_ > 0.9 * prev_pending):
-            it = min(it * 2, max_chunk_iters)
-        prev_pending = np_
+        if nm_ == 0 and np_ > 0:
+            zero_rounds += 1
+        # escalation: after round 3 every round doubles the chunk (the
+        # barrier is the cost we are minimising); a zero-migration
+        # round doubles twice (it paid a barrier for nothing)
+        if rounds >= 3 or nm_ == 0:
+            it = min(it * (4 if nm_ == 0 else 2), max_chunk_iters)
         if rounds >= max_rounds:
             raise RuntimeError(
                 f"domain transport did not converge in {rounds} "

@@ -751,7 +751,13 @@ class Simulation:
                         self._sf_solver._ts_last_solved = \
                             rst["ts_last_solved"]
                         del self._sf_restore
-                sf_starts, sf_workers = self._plasma_exec()
+                # the SF wall is the batched matrix ASSEMBLY (one
+                # GEMM over cells), which BLAS already parallelises —
+                # range-threading it on one host only adds contention
+                # (PLASMA_SOLVE.json sf_concurrent row). Shard it only
+                # in true DD mode, where each rank owns its cells.
+                sf_starts = self._plasma_starts()
+                sf_workers = 1
                 if sf_starts is not None:
                     # rank-distributed SF solve with the full-batch
                     # reuse gate applied first (sn3d.cc:951-964 +
@@ -802,37 +808,74 @@ class Simulation:
                            if getattr(self, "_jb_lu_val", None)
                            is not None else None))
                 starts, pl_workers = self._plasma_exec()
-                if starts is not None:
-                    # each rank/thread solves its owned cell range
-                    # and the slices concatenate back — the
-                    # reference's rank-distributed update_grid pass
-                    # (sn3d.cc:951-964); bitwise equal to full-batch
-                    # (tests/test_plasma_sharded.py)
-                    from .plasma import sharded as sharded_mod
-                    walls: list = []
-                    nl_nlte = sharded_mod.solve_nlte_pops_sharded(
-                        starts, self.atomic_data, ph, pirates,
-                        levelpops.astype(np.float64), nd, g.Te,
-                        g.TR, g.W, g.nne, t_mid_s, timings=walls,
-                        workers=pl_workers, **nlte_kw)
-                    self._plasma_shard_walls = walls
-                else:
-                    nl_nlte = nltepop_mod.solve_nlte_pops(
-                        self.atomic_data, ph, pirates,
-                        levelpops.astype(np.float64), nd, g.Te,
-                        g.TR, g.W, g.nne, t_mid_s, **nlte_kw)
-                # previously-thick cells keep the pure-LTE set
-                # (update_grid.cc:1106-1125 branch)
                 tp = getattr(self, "_thick_prev", None)
-                if tp is not None and tp.any():
-                    nl_nlte[tp] = levelpops.astype(np.float64)[tp]
+
+                def solve_pops(pir):
+                    if starts is not None:
+                        # each rank/thread solves its owned cell
+                        # range and the slices concatenate back — the
+                        # reference's rank-distributed update_grid
+                        # pass (sn3d.cc:951-964); bitwise equal to
+                        # full-batch (tests/test_plasma_sharded.py)
+                        from .plasma import sharded as sharded_mod
+                        walls: list = []
+                        nl = sharded_mod.solve_nlte_pops_sharded(
+                            starts, self.atomic_data, ph, pir,
+                            levelpops.astype(np.float64), nd, g.Te,
+                            g.TR, g.W, g.nne, t_mid_s, timings=walls,
+                            workers=pl_workers, **nlte_kw)
+                        self._plasma_shard_walls = walls
+                    else:
+                        nl = nltepop_mod.solve_nlte_pops(
+                            self.atomic_data, ph, pir,
+                            levelpops.astype(np.float64), nd, g.Te,
+                            g.TR, g.W, g.nne, t_mid_s, **nlte_kw)
+                    # previously-thick cells keep the pure-LTE set
+                    # (update_grid.cc:1106-1125 branch)
+                    if tp is not None and tp.any():
+                        nl[tp] = levelpops.astype(np.float64)[tp]
+                    nne_n = nltepop_mod.nne_from_levelpops(
+                        self.atomic_data, nl)
+                    if tp is not None and tp.any():
+                        nne_n[tp] = g.nne[tp]
+                    return nl, nne_n
+
+                def refresh_pirates():
+                    pir = photoion_mod.compute_rates(
+                        self.atomic_data, ph, g.Te, g.TR, g.W, g.nne,
+                        radfield=rf_binned)
+                    if use_raw and bf_gamma is not None \
+                            and bf_gamma.shape == pir.gamma_corr.shape:
+                        pir.gamma_corr = np.where(
+                            bf_gamma > 0, bf_gamma, pir.gamma_corr)
+                    return pir
+
+                nl_nlte, nne_nlte = solve_pops(pirates)
+                g.nne = np.where(g.rho_init > 0, nne_nlte, 0.0)
+                # pops <-> T_e fixed-point iteration (the reference's
+                # solve_Te_nltepops NLTEITER loop, update_grid.cc:
+                # 775-887, tol 4%): re-solve the thermal balance with
+                # the freshly-solved populations held fixed, then
+                # re-solve the populations at the new T_e, until T_e
+                # converges. Without it the NT-heated nebular state
+                # can oscillate between timesteps.
+                if (self.est_prev is not None
+                        and self.nts_done >= self.cfg.num_lte_timesteps):
+                    for _ in range(4):
+                        Te_old = g.Te.copy()
+                        self._solve_thermal_balance(
+                            t_mid_s, fixed_nl=nl_nlte,
+                            fixed_nne=g.nne, keep_thick_pinned=True)
+                        dTe = np.abs(g.Te - Te_old) \
+                            / np.maximum(Te_old, 1.0)
+                        if float(np.max(dTe)) < 0.04:
+                            break
+                        pirates = refresh_pirates()
+                        nl_nlte, nne_nlte = solve_pops(pirates)
+                        g.nne = np.where(g.rho_init > 0, nne_nlte,
+                                         0.0)
                 self.nlte_levelpops = nl_nlte
                 self.lte_levelpops = levelpops.astype(np.float64)
-                nne_nlte = nltepop_mod.nne_from_levelpops(
-                    self.atomic_data, nl_nlte)
-                if tp is not None and tp.any():
-                    nne_nlte[tp] = g.nne[tp]
-                g.nne = np.where(g.rho_init > 0, nne_nlte, 0.0)
                 # cells that have been through the NLTE branch at
                 # least once carry a usable SF solution for the NT
                 # transport channels (the reference's per-cell
@@ -931,11 +974,16 @@ class Simulation:
             ionpop = np.zeros((g.nmodel, ad.nions_total))
             np.add.at(ionpop.T, ion_of_level, nl64.T)
             upion_pop = ionpop[:, ph.cont_upperion]
-            w_fb = (pirates.bfcooling * upion_pop
-                    * g.nne[:, None])
+            # k-packet channel weights are PER-nne (all four channels
+            # are linear in nne, so the selection CDF is identical;
+            # the scaling avoids f32 underflow in near-neutral cells,
+            # whose channel ratio sets the ignition-phase spectrum —
+            # see _line_weights in macroatom_device.py)
+            w_fb = pirates.bfcooling * upion_pop
             eps_tr = (ad.level_energy[ph.cont_upperlevel]
                       - ad.level_energy[ph.cont_level])[None, :]
-            w_ci = n_l_cont * pirates.c_ion * eps_tr
+            nne_div = np.maximum(g.nne, 1e-300)[:, None]
+            w_ci = n_l_cont * (pirates.c_ion / nne_div) * eps_tr
             tables["kp_w_fb"] = jnp.asarray(
                 pad(np.cumsum(w_fb, axis=1).astype(np.float32)))
             tables["kp_w_collion"] = jnp.asarray(
@@ -1582,7 +1630,7 @@ class Simulation:
             self._dd_plan = dom.plan_decomposition(
                 tab_np["cell_mgi"], self.grid.nmodel,
                 self.grid.rho_init, self._dd_mesh.size,
-                self.cfg.npkts)
+                self.cfg.npkts, halo=self.cfg.dd_halo)
         plan, mesh = self._dd_plan, self._dd_mesh
         dtab, specs = dom.shard_domain_tables(tab_np, plan, mesh)
         key_sig = frozenset(specs.keys())
@@ -1610,11 +1658,13 @@ class Simulation:
             syn_emiss_bins=self._syn_emiss_bins(),
             vgrid_shape=self._vgrid_shape(),
             n_bfcont=self._n_bfcont(), jb_nsel=self._jb_nsel())
+        dd_stats: dict = {}
         pkd, estd, rounds = dom.run_domain_timestep(
             self._dd_step, pkd, estd, dtab, self.params, t2_sim,
             nts == 0, self.base_key,
-            int(min(self._chunk_iters, 256)))
+            int(min(self._chunk_iters, 256)), stats_out=dd_stats)
         self._dd_rounds = rounds
+        self._dd_stats = dd_stats
         pk = dom.gather_packets(pkd, plan, self.cfg.npkts)
         est = dom.assemble_estimators(
             jax.tree.map(np.asarray, estd), plan)
@@ -1708,10 +1758,19 @@ class Simulation:
 
         self.nts_done = nts + 1
 
-    def _solve_thermal_balance(self, tmid: float):
+    def _solve_thermal_balance(self, tmid: float,
+                               fixed_nl=None, fixed_nne=None,
+                               keep_thick_pinned: bool = False):
         """T_e from heating = cooling using the previous timestep's
         estimators (solve_Te_nltepops' T_e part,
-        update_grid.cc:763-888)."""
+        update_grid.cc:763-888).
+
+        ``fixed_nl``/``fixed_nne`` override the population set held
+        fixed during the root solve (defaults to the previous NLTE
+        set when nlte_pops_on) — used by the pops<->Te fixed-point
+        iteration in _tables (solve_Te_nltepops' NLTEITER loop,
+        update_grid.cc:775-887). ``keep_thick_pinned`` preserves the
+        LTE-pinned Te of previously-thick cells."""
         g = self.grid
         deltaV = g.vol_init * (tmid / g.tmin) ** 3
         norm = self.units.e0 / (deltaV * self.deltat_prev)
@@ -1746,6 +1805,16 @@ class Simulation:
         rf_te = (rf_raw if (rf_raw is not None
                             and self.cfg.detailed_bf_estimators)
                  else getattr(self, "_radfield_binned", None))
+        # in the NLTE phase the balance is evaluated with the CURRENT
+        # statistical-equilibrium populations held fixed — the
+        # reference's call_T_e_finder uses the grid's stored pops
+        # (thermalbalance.cc:218-396); recomputing LTE Saha at each
+        # trial T_e badly overstates nne + collisional cooling in
+        # non-thermally-ionised nebular gas
+        if fixed_nl is None:
+            fixed_nl = (getattr(self, "nlte_levelpops", None)
+                        if self.cfg.nlte_pops_on else None)
+            fixed_nne = g.nne if fixed_nl is not None else None
         starts, te_workers = self._plasma_exec()
         if starts is not None:
             # rank-distributed T_e solve over owned cell ranges
@@ -1754,7 +1823,8 @@ class Simulation:
             per_cell = dict(elem_numberdens=nd, TR=g.TR, W=g.W,
                             ffheat_est=ffheat, colheat_est=colheat,
                             vol_tmin=g.vol_init,
-                            dep_heating=dep_heating, radfield=rf_te)
+                            dep_heating=dep_heating, radfield=rf_te,
+                            fixed_nl=fixed_nl, fixed_nne=fixed_nne)
             repl = dict(ad=self.atomic_data, ph=self.phixs,
                         t_mid=tmid, tmin=g.tmin,
                         mintemp=self.cfg.mintemp,
@@ -1767,13 +1837,20 @@ class Simulation:
                 self.atomic_data, self.phixs, nd, g.TR, g.W, ffheat,
                 colheat, tmid, g.vol_init, g.tmin, self.cfg.mintemp,
                 self.cfg.maxtemp, dep_heating=dep_heating,
-                radfield=rf_te)
+                radfield=rf_te, fixed_nl=fixed_nl,
+                fixed_nne=fixed_nne)
+        if keep_thick_pinned:
+            tp = getattr(self, "_thick_prev", None)
+            if tp is not None and tp.any():
+                Te = np.where(tp, g.Te, Te)
         g.Te = np.where(g.rho_init > 0, Te, 0.0)
         # diagnostic heating/cooling rows at the solved T_e
         # (update_grid.cc:642-649)
         self._heatcool = thermal_mod.heating_cooling_breakdown(
             self.atomic_data, self.phixs, nd, Te, g.TR, g.W, ffheat,
-            colheat, tmid, dep_heating=dep_heating, radfield=rf_te)
+            colheat, tmid, dep_heating=dep_heating, radfield=rf_te,
+            fixed_nl=fixed_nl, fixed_nne=fixed_nne)
+        return Te
 
     def _dep_rate_density(self, tmid: float) -> np.ndarray:
         """Local energy deposition rate density per cell [erg/s/cm^3]

@@ -70,5 +70,7 @@ def compute_case4_state(g: Grid, ad: AtomicData, units: Units):
                 * 1e-45 * units.x_unit)
     # free-free cooling rate density [erg/s/cm^3]
     # (calculate_cooling_rates, kpkt.cc:105-109)
-    g.cool_ff = 1.426e-27 * np.sqrt(T) * z2n * pops.nne
+    # PER-nne weight (all k-packet cooling channels are linear in nne;
+    # relative selection only — see driver._tables / macroatom_device)
+    g.cool_ff = 1.426e-27 * np.sqrt(T) * z2n
     return nl.astype(np.float32), kff_base, pops

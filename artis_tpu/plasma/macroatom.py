@@ -328,7 +328,12 @@ def build_tables(ad: AtomicData, ma_static: MacroAtomStatic,
     # (get_cooling_ion_coll_exc, kpkt.cc; per volume: rate coeff *
     # lower-level population * transition energy), cumulative in the
     # global descending-nu line order for direct binary search
-    w_kcollexc_cum = np.cumsum(C_exc * eps_trans * n_l, axis=1)
+    # PER-nne weight, matching macroatom_device._line_weights: the
+    # k-packet cooling-channel CDF is scale-invariant and the 1/nne
+    # scaling avoids f32 underflow in near-neutral cells
+    nne_div = np.maximum(nne, 1e-300)[:, None]
+    w_kcollexc_cum = np.cumsum((C_exc / nne_div) * eps_trans * n_l,
+                               axis=1)
 
     f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)
     return {

@@ -154,13 +154,32 @@ def _line_weights(lc_chunk, nl, Te, TR, W, nne, t_mid, rf=None,
                         jnp.where(forb, axel_deexc, vr_deexc))
     C_exc = jnp.where(cs >= 0, cs_exc,
                       jnp.where(forb, axel_exc, vr_exc))
+    # nne-free variant (the formulas are linear in nne): used for the
+    # per-nne k-packet channel weights, which must not underflow in
+    # f32 when nne -> 0
+    C_exc1 = jnp.where(cs >= 0,
+                       jnp.float32(8.629e-6) * cs * jnp.exp(-eokt_c)
+                       / g_l / sqTe,
+                       jnp.where(forb,
+                                 jnp.float32(8.629e-6 * 0.01)
+                                 * jnp.exp(-eokt_c) * g_u / sqTe,
+                                 jnp.float32(C_0 * 14.51039491) * sqTe
+                                 * f_lu * hioneps2 * eokt
+                                 * jnp.exp(-eokt_c)
+                                 * jnp.maximum(gaunt, 0.2)))
 
     eps_lo = lc_chunk["eps_lo_abs"][None, :]
     w_rad = R_deexc * eps_trans
     w_col = C_deexc * eps_trans
     w_down = (R_deexc + C_deexc) * eps_lo
     w_up = (R_exc + C_exc) * eps_lo
-    w_kexc = C_exc * eps_trans * n_l
+    # k-packet collexc channel weight SCALED by 1/nne (every kpkt
+    # cooling channel is linear in nne, so the per-nne weights give
+    # the identical selection CDF without f32 underflow at nne -> 0 —
+    # the regime that sets the reference's ignition-timestep UV
+    # spectrum, where collexc wins the ratio as the charged-particle
+    # channels vanish faster; do_kpkt, kpkt.cc:518-560)
+    w_kexc = C_exc1 * eps_trans * n_l
     return w_rad, w_col, w_down, w_up, w_kexc
 
 

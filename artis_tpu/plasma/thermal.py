@@ -89,7 +89,9 @@ def solve_Te(ad: AtomicData, ph: PhixsData, elem_numberdens: np.ndarray,
              tmin: float, mintemp: float, maxtemp: float,
              niter: int = 24,
              dep_heating: np.ndarray | None = None,
-             radfield=None) -> np.ndarray:
+             radfield=None,
+             fixed_nl: np.ndarray | None = None,
+             fixed_nne: np.ndarray | None = None) -> np.ndarray:
     """Bisection on heating(T_e) - cooling(T_e) = 0 for every cell.
 
     ffheat_est/colheat_est are normalised estimator values
@@ -101,6 +103,17 @@ def solve_Te(ad: AtomicData, ph: PhixsData, elem_numberdens: np.ndarray,
     clamped to [mintemp, maxtemp]; cells with no bracket take the
     boundary with the smaller |imbalance| (call_T_e_finder's fallback,
     thermalbalance.cc:470-516).
+
+    ``fixed_nl``/``fixed_nne``: hold the level populations and
+    electron density FIXED across the root solve — the reference's
+    behaviour (call_T_e_finder evaluates heating/cooling with the
+    grid's stored populations; only the rate coefficients vary with
+    the trial T_e). Essential in the NLTE/nebular regime, where the
+    non-thermally-ionised populations are far from the LTE Saha set
+    at any trial T_e: recomputing Saha inside the bisection (the
+    LTE-phase behaviour, used when these are None) overstates both
+    nne and the collisional-excitation cooling and pulls the balance
+    point far below the reference's.
     """
     ncells = elem_numberdens.shape[0]
     trat = t_mid / tmin
@@ -116,9 +129,26 @@ def solve_Te(ad: AtomicData, ph: PhixsData, elem_numberdens: np.ndarray,
     rad = photoion.compute_rates(ad, ph, TR, TR, W,
                                  np.zeros(ncells), radfield=radfield)
 
+    if fixed_nl is not None:
+        # ion/electron densities implied by the fixed population set
+        ion_of_level = np.repeat(np.arange(ad.nions_total),
+                                 np.diff(ad.ion_level_start))
+        ion_nd_fix = np.zeros((ncells, ad.nions_total))
+        np.add.at(ion_nd_fix.T, ion_of_level,
+                  np.asarray(fixed_nl, np.float64).T)
+        nne_fix = (fixed_nne if fixed_nne is not None
+                   else ion_nd_fix @ (ad.ion_stage - 1.0))
+        pops_fix = lte.IonPopulations(
+            nne=np.asarray(nne_fix, np.float64),
+            ion_numberdens=ion_nd_fix,
+            partfuncs=np.ones((ncells, ad.nions_total)))
+
     def imbalance(Te):
-        pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
-        nl = lte.level_populations(ad, pops, Te)
+        if fixed_nl is not None:
+            pops, nl = pops_fix, fixed_nl
+        else:
+            pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
+            nl = lte.level_populations(ad, pops, Te)
         rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne,
                                        with_radiative=False)
         rates.gamma_corr = rad.gamma_corr
@@ -163,15 +193,34 @@ def heating_cooling_breakdown(ad: AtomicData, ph: PhixsData,
                               W: np.ndarray, ffheat_est: np.ndarray,
                               colheat_est: np.ndarray, t_mid: float,
                               dep_heating: np.ndarray | None = None,
-                              radfield=None) -> dict[str, np.ndarray]:
+                              radfield=None,
+                              fixed_nl: np.ndarray | None = None,
+                              fixed_nne: np.ndarray | None = None
+                              ) -> dict[str, np.ndarray]:
     """Per-cell heating/cooling components [erg/s/cm^3] at the solved
     T_e — the diagnostic rows the reference appends to
     estimators_XXXX.out (struct heatingcoolingrates,
-    thermalbalance.h:4-14; written update_grid.cc:642-649)."""
+    thermalbalance.h:4-14; written update_grid.cc:642-649).
+    ``fixed_nl``/``fixed_nne``: evaluate with these populations
+    instead of the LTE-at-Te set (see solve_Te)."""
     ncells = elem_numberdens.shape[0]
     Te = np.maximum(np.asarray(Te, np.float64), 1.0)
-    pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
-    nl = lte.level_populations(ad, pops, Te)
+    if fixed_nl is not None:
+        nl = fixed_nl
+        ion_of_level = np.repeat(np.arange(ad.nions_total),
+                                 np.diff(ad.ion_level_start))
+        ion_nd = np.zeros((ncells, ad.nions_total))
+        np.add.at(ion_nd.T, ion_of_level,
+                  np.asarray(fixed_nl, np.float64).T)
+        nne_fix = (fixed_nne if fixed_nne is not None
+                   else ion_nd @ (ad.ion_stage - 1.0))
+        pops = lte.IonPopulations(
+            nne=np.asarray(nne_fix, np.float64),
+            ion_numberdens=ion_nd,
+            partfuncs=np.ones((ncells, ad.nions_total)))
+    else:
+        pops = lte.solve_lte_populations(ad, elem_numberdens, Te)
+        nl = lte.level_populations(ad, pops, Te)
     rates = photoion.compute_rates(ad, ph, Te, TR, W, pops.nne,
                                    radfield=radfield)
     bfheat = (nl[:, ph.cont_level] * rates.bfheating).sum(axis=1)

@@ -713,7 +713,17 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
     nmodel = tables["chi_grey"].shape[0] - 1
     active = ((pk.ptype != TYPE_ESCAPE) & (pk.ptype >= 0)
               & (pk.prop_time < t2))
-    if "cell_owner" in tables:
+    if "cell_mine" in tables:
+        # grid domain decomposition with halo ownership (domain.py):
+        # a device advances any packet whose cell lies in its owned
+        # range EXTENDED by the halo — boundary packets random-walk
+        # across the seam without paying a migration round per
+        # crossing; only packets leaving the halo freeze until the
+        # sorted all-to-all hands them to their owner
+        mine = tables["cell_mine"][
+            jnp.clip(pk.cell, 0, tables["cell_mine"].shape[0] - 1)]
+        active &= mine != 0
+    elif "cell_owner" in tables:
         # grid domain decomposition (domain.py): only the device that
         # owns the packet's cell advances it; foreign packets stay
         # frozen until the sorted all-to-all migration hands them to
@@ -2396,7 +2406,15 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                                           relativistic)
                 nu0 = nu_obs * dpp0
                 t_nu_v = t_e * nu0
-                j_start = vline_count_gt(nu0)
+                # the observer ray inherits the packet's post-event
+                # walk position (rlc_emiss_vpkt copies next_trans,
+                # vpkt.cc:93-96 + closest_transition(nu, next_trans)):
+                # a just-re-emitted resonance photon must NOT
+                # self-absorb in its own line, and lines the packet
+                # already walked past are excluded
+                j_start = jnp.maximum(
+                    vline_count_gt(nu0),
+                    jnp.clip(new["next_trans"], 0, nlines_v))
             else:
                 j_start = jnp.zeros_like(cell_e)
 

@@ -264,3 +264,49 @@ def test_tied_f32_line_frequencies_both_processed():
     # every non-interacting packet walked past both tied lines
     clean = np.asarray(out.interactions) == 0
     assert np.all(np.asarray(out.next_trans)[clean] >= 2)
+
+def test_vpkt_peel_consistent_with_escaped_flux_through_lines():
+    """Next-event-estimator consistency in the DETAILED kernel with a
+    strong line + Thomson scattering: the peeled observer spectrum
+    must match the angle-averaged escaping flux (isotropic-equivalent)
+    — the observer-ray march (exact per-ray Sobolev line depth +
+    continuum) must attenuate by the same optical depth the real
+    packets actually experience. A biased vpkt line/continuum tau
+    shows up as vspec != escaped/(4 pi)."""
+    from artis_tpu.transport.kernel import (run_timestep_chunk,
+                                            zero_estimators)
+    from artis_tpu.driver import _build_line_walk_blocks
+
+    n = 6000
+    tau_line = 2.0
+    n_l = 2.0
+    params = make_params([NU0], [tau_line / n_l / 1.0])
+    tables = make_tables(ncells=1, rmax=0.2, levelpop=n_l,
+                         chi_thomson=3.0)  # tau_es ~ 0.5 across cell
+    # analytic-walk blocks (the exact vpkt line-depth path needs them)
+    nl_pad = jnp.asarray(np.vstack([tables["levelpops"]]), jnp.float32)
+    D_blk, tau_blk, D_end, tau_end = _build_line_walk_blocks(
+        nl_pad, params.line_taufac_lu, params.line_taufac_ul,
+        params.line_lower, params.line_upper, params.line_nu, nb=1)
+    tables["lw_D_blk"] = D_blk
+    tables["lw_tau_blk"] = tau_blk
+    tables["lw_D_end"] = D_end
+    tables["lw_tau_end"] = tau_end
+    tables["lw_nu_blk"] = jnp.asarray(
+        np.pad(np.asarray(params.line_nu, np.float32),
+               (0, 128 - 1)).reshape(1, 128))
+
+    pk = make_rpkts(n, r0=0.02, nu_cmf=NU0 * 1.01)
+    est0 = zero_estimators(1, vpkt_shape=(1, 1, 200))
+    fn = jax.jit(lambda p, e: run_timestep_chunk(
+        p, e, tables, params, jnp.float32(3.0), False,
+        make_base_key(7), 50_000, grid_type="spherical", ncoord=1,
+        detailed=True, vpkt=True))
+    out, est, n_act = fn(pk, est0)
+    assert int(n_act) == 0
+    esc = np.asarray(out.ptype) == TYPE_ESCAPE
+    assert esc.mean() > 0.95
+    e_esc = float(np.asarray(out.e_rf)[esc].sum())
+    e_peel = float(np.asarray(est["vpkt_I"]).sum()) * 4.0 * np.pi
+    ratio = e_peel / e_esc
+    assert 0.8 < ratio < 1.25, (ratio, e_peel, e_esc)
