@@ -1764,14 +1764,17 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             # the complete walk costs ~6 row-gathers, one iteration
             # per physical event, at ANY linelist length. Physics
             # identical to get_event (rpkt.cc:67-328).
-            LWD = tables["lw_D_blk"]      # [nm1, nb, 128]
+            LWD = tables["lw_D_blk"]      # [nm1, nb, 128] hi part
+            LWDl = tables["lw_D_lo_blk"]  # [nm1, nb, 128] lo part
             LWT = tables["lw_tau_blk"]    # [nm1, nb, 128]
             LWNU = tables["lw_nu_blk"]    # [nb, 128] shared
             D_ends = tables["lw_D_end"]   # [nm1, nb]
+            Dl_ends = tables["lw_D_lo_end"]
             T_ends = tables["lw_tau_end"]
             nm1_w = LWD.shape[0]
             nbw = LWNU.shape[0]
             LWD2 = LWD.reshape(nm1_w * nbw, ROWW)
+            LWDl2 = LWDl.reshape(nm1_w * nbw, ROWW)
             LWT2 = LWT.reshape(nm1_w * nbw, ROWW)
             t_nu = t_b * pk.nu_cmf
             j0c = jnp.clip(j0, 0, nlines)
@@ -1784,14 +1787,21 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                 ld = tb * (nu_c / jnp.maximum(nu_j, 1.0) - 1.0)
                 return jnp.maximum(ld, 0.0)
 
-            # D0 = D at the walk start (one row-gather + extract)
+            # D0 = D at the walk start (one row-gather + extract).
+            # ALL comparisons below use double-single DIFFERENCES
+            # (hi2-hi1) + (lo2-lo1) vs D0: the absolute D spans ~1e14
+            # in relative magnitude on production linelists, so plain
+            # f32 sums lose the entire weak-line forest (see
+            # driver._build_line_walk_blocks)
             b0 = j0c // ROWW
-            D0 = onehot_extract(LWD2[mgi * nbw + b0], j0c % ROWW)
-            Ccross = tau_next + t_nu * D0
+            row0 = mgi * nbw + b0
+            D0 = onehot_extract(LWD2[row0], j0c % ROWW)
+            D0l = onehot_extract(LWDl2[row0], j0c % ROWW)
 
             # level 1: first block (>= b0) whose end crosses
             nu_ends = LWNU[:, ROWW - 1]            # [nb] shared
             d_end_rows = D_ends[mgi]               # [N, nb] row-gather
+            dl_end_rows = Dl_ends[mgi]
             t_end_rows = T_ends[mgi]               # [N, nb]
             iota_b = jnp.arange(nbw, dtype=jnp.int32)
             ld_ends = jnp.maximum(
@@ -1800,21 +1810,26 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                                 - 1.0), 0.0)
             end_is_pad = (iota_b * ROWW + ROWW - 1) >= nlines
             ld_ends = jnp.where(end_is_pad[None, :], BIG, ld_ends)
+            dD_ends = ((d_end_rows - D0[:, None])
+                       + (dl_end_rows - D0l[:, None]))
             P_ends = chi_cont[:, None] * ld_ends \
-                + t_nu[:, None] * d_end_rows
+                + t_nu[:, None] * dD_ends
             ok_b = ((iota_b[None, :] >= b0[:, None])
-                    & (P_ends >= Ccross[:, None]))
+                    & (P_ends >= tau_next[:, None]))
             b_ev = jnp.argmax(ok_b, axis=1).astype(jnp.int32)
 
             # level 2: pin the crossing inside the block
-            rowD = LWD2[mgi * nbw + b_ev]
-            rowT = LWT2[mgi * nbw + b_ev]
+            row_ev = mgi * nbw + b_ev
+            rowD = LWD2[row_ev]
+            rowDl = LWDl2[row_ev]
+            rowT = LWT2[row_ev]
             rowNU = LWNU[b_ev]
             pos = b_ev[:, None] * ROWW + iota[None, :]
             ld_blk = jnp.where(pos >= nlines, BIG, ld_of_nu(rowNU))
-            P_blk = chi_cont[:, None] * ld_blk + t_nu[:, None] * rowD
+            dD_blk = ((rowD - D0[:, None]) + (rowDl - D0l[:, None]))
+            P_blk = chi_cont[:, None] * ld_blk + t_nu[:, None] * dD_blk
             ok_j = ((pos >= j0c[:, None])
-                    & (P_blk >= Ccross[:, None]))
+                    & (P_blk >= tau_next[:, None]))
             off = jnp.argmax(ok_j, axis=1).astype(jnp.int32)
             jc_e = jnp.minimum(b_ev * ROWW + off, nlines)
 
@@ -1824,8 +1839,12 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
             in_blk = off > 0
             offp = jnp.maximum(off - 1, 0)
             bp = jnp.maximum(b_ev - 1, 0)
-            D_prev = jnp.where(in_blk, onehot_extract(rowD, offp),
-                               onehot_extract(d_end_rows, bp))
+            dD_prev = jnp.where(
+                in_blk,
+                onehot_extract(rowD, offp) - D0
+                + (onehot_extract(rowDl, offp) - D0l),
+                onehot_extract(d_end_rows, bp) - D0
+                + (onehot_extract(dl_end_rows, bp) - D0l))
             tau_b_prev = jnp.where(in_blk, onehot_extract(rowT, offp),
                                    onehot_extract(t_end_rows, bp))
             nu_prev_r = jnp.where(
@@ -1840,7 +1859,7 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                 return jnp.where(j >= nlines, BIG, ld_of_nu(nu_prev))
 
             A_prev = (chi_cont * ld_of_nu(nu_prev)
-                      + t_nu * (D_prev - D0))
+                      + t_nu * dD_prev)
             # continuum crossing within the stretch before line jc, or
             # Sobolev absorption AT line jc-1 (the budget is exhausted
             # inside that line's depth)
@@ -2373,8 +2392,10 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                            and "lw_D_blk" in tables)
         if use_exact_vline:
             LWD_v = tables["lw_D_blk"]
+            LWDl_v = tables["lw_D_lo_blk"]
             nbw_v = LWD_v.shape[1]
             LWD2_v = LWD_v.reshape(-1, ROWW)
+            LWDl2_v = LWDl_v.reshape(-1, ROWW)
             LWNU_v = tables["lw_nu_blk"]  # [nb, 128] descending
             ends_v = LWNU_v[:, ROWW - 1]
             nlines_v = params.line_nu.shape[0]
@@ -2393,10 +2414,14 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                         axis=1), nlines_v)
 
             def vline_D_at(mgi_l, j):
+                """(hi, lo) double-single D at index j — differences
+                must be taken as (hi2-hi1)+(lo2-lo1) (see
+                driver._build_line_walk_blocks)."""
                 jc_ = jnp.clip(j, 0, nlines_v)
-                return onehot_extract(
-                    LWD2_v[mgi_l * nbw_v + jc_ // ROWW],
-                    jc_ % ROWW)
+                r = mgi_l * nbw_v + jc_ // ROWW
+                c = jc_ % ROWW
+                return (onehot_extract(LWD2_v[r], c),
+                        onehot_extract(LWDl2_v[r], c))
 
         def vpkt_tau(obs_b, nu_obs):
             n_march = 2 * ncoord + 8
@@ -2480,9 +2505,10 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                         relativistic)
                     nu_end = nu_obs * dpp_e2
                     jn = jnp.maximum(vline_count_gt(nu_end), jprev)
+                    hi2, lo2 = vline_D_at(mgi_l, jn)
+                    hi1, lo1 = vline_D_at(mgi_l, jprev)
                     tau_lines = jnp.maximum(
-                        t_nu_v * (vline_D_at(mgi_l, jn)
-                                  - vline_D_at(mgi_l, jprev)), 0.0)
+                        t_nu_v * ((hi2 - hi1) + (lo2 - lo1)), 0.0)
                     tau_seg = tau_seg + jnp.where(
                         mgi_l >= nmodel, 0.0, tau_lines)
                 else:
@@ -2554,7 +2580,13 @@ def _event_step(pk: PacketBatch, est: dict, tables: dict,
                 q_peel = jnp.zeros_like(w_phase)
                 u_peel = jnp.zeros_like(w_phase)
             tau_o = vpkt_tau(obs_b, nu_obs)
-            contrib = jnp.where(vp_any,
+            # the reference ABORTS a vpkt whose accumulated tau
+            # exceeds tau_max without binning anything (check_tau,
+            # vpkt.cc:374-441 -> return at vpkt.cc:222,281): the
+            # contribution is zero, not exp(-tau_at_kill). Our march
+            # freezes tau at the kill point, so a killed ray's final
+            # tau >= tau_max identifies it exactly.
+            contrib = jnp.where(vp_any & (tau_o <= params.vpkt_tau_max),
                                 e_obs * w_phase * jnp.exp(-tau_o), 0.0)
             t_arr = t_e - geo.dot3(pos_e, obs_b)
             it_v = jnp.sum((params.vpkt_t_edges[None, :]

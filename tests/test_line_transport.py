@@ -285,12 +285,15 @@ def test_vpkt_peel_consistent_with_escaped_flux_through_lines():
                          chi_thomson=3.0)  # tau_es ~ 0.5 across cell
     # analytic-walk blocks (the exact vpkt line-depth path needs them)
     nl_pad = jnp.asarray(np.vstack([tables["levelpops"]]), jnp.float32)
-    D_blk, tau_blk, D_end, tau_end = _build_line_walk_blocks(
+    (D_blk, D_lo_blk, tau_blk, D_end, D_lo_end,
+     tau_end) = _build_line_walk_blocks(
         nl_pad, params.line_taufac_lu, params.line_taufac_ul,
         params.line_lower, params.line_upper, params.line_nu, nb=1)
     tables["lw_D_blk"] = D_blk
+    tables["lw_D_lo_blk"] = D_lo_blk
     tables["lw_tau_blk"] = tau_blk
     tables["lw_D_end"] = D_end
+    tables["lw_D_lo_end"] = D_lo_end
     tables["lw_tau_end"] = tau_end
     tables["lw_nu_blk"] = jnp.asarray(
         np.pad(np.asarray(params.line_nu, np.float32),
@@ -310,3 +313,49 @@ def test_vpkt_peel_consistent_with_escaped_flux_through_lines():
     e_peel = float(np.asarray(est["vpkt_I"]).sum()) * 4.0 * np.pi
     ratio = e_peel / e_esc
     assert 0.8 < ratio < 1.25, (ratio, e_peel, e_esc)
+
+def test_line_walk_table_precision_at_production_dynamic_range():
+    """Double-single D tables must preserve interval depths at the
+    dynamic range of a production linelist (~1e14 between a strong
+    line and the total sum; classic_sph_biglines measurement): a
+    plain f32 cumsum loses 95%+ of typical intervals. Contract:
+    (hi2-hi1)+(lo2-lo1) matches the f64 interval to 1e-5 relative."""
+    from artis_tpu.driver import _build_line_walk_blocks
+
+    rng = np.random.default_rng(0)
+    nl = 50_000
+    # per-line depth spanning 14 decades, frequency-sorted descending
+    dcol = 10.0 ** rng.uniform(-14.0, 0.0, nl)
+    nu = np.sort(rng.uniform(1e14, 5e15, nl))[::-1].copy()
+    taufac = dcol * nu  # so base/nu = dcol with n_l = 1
+    nl_pad = jnp.ones((1, 2), jnp.float32)
+    out = _build_line_walk_blocks(
+        nl_pad, jnp.asarray(taufac, jnp.float32),
+        jnp.zeros(nl, jnp.float32),
+        jnp.zeros(nl, jnp.int32), jnp.ones(nl, jnp.int32),
+        jnp.asarray(nu, jnp.float32), nb=-(-(nl + 1) // 128))
+    D_hi, D_lo = np.asarray(out[0]).reshape(1, -1), \
+        np.asarray(out[1]).reshape(1, -1)
+    # f64 truth from the same f32-rounded inputs
+    base = (np.asarray(taufac, np.float32).astype(np.float64)
+            / np.maximum(np.asarray(nu, np.float32), 1.0))
+    D64 = np.concatenate([[0.0], np.cumsum(base)])
+    j1 = rng.integers(0, nl - 200, 3000)
+    total = D64[-1]
+    for k in (1, 10, 100):
+        j2 = j1 + k
+        true = D64[j2] - D64[j1]
+        ds = ((D_hi[0, j2] - D_hi[0, j1]).astype(np.float64)
+              + (D_lo[0, j2] - D_lo[0, j1]))
+        # double-single carries ~48 bits: intervals down to ~1e-12 of
+        # the total are preserved; below that the interval's tau is
+        # < 1e-5 of the total line depth — physically negligible
+        # (a plain f32 table loses intervals at 1e-7 of the total,
+        # i.e. tau ~ 10 lines on production lists)
+        m = true > 1e-11 * total
+        assert m.sum() > 200
+        rel = np.abs(ds[m] - true[m]) / true[m]
+        assert np.percentile(rel, 99) < 1e-3, (k, np.percentile(rel, 99))
+        # and the remainder must never be spuriously large
+        m2 = true > 0
+        assert np.all(ds[m2] <= true[m2] * 1.001 + 2e-11 * total)
